@@ -1,0 +1,351 @@
+"""HRNet backbone (W32/W48) + preNet conditional fusion — flax/NHWC, TPU-first.
+
+Re-implements the architecture of lib/models/pose_hrnet.py:274-495 (stem -> 4-block
+Bottleneck layer1 -> 3 multi-resolution stages with cross-resolution fusion -> 1x1 head),
+including the BUCTD "preNet" input-fusion stems (pose_hrnet.py:431-442, :452-458).
+
+Design notes (TPU):
+  * NHWC everywhere — feeds the MXU without layout transposes.
+  * All convs use explicit numeric padding to match torch's `padding=1` placement
+    (XLA 'SAME' pads (0,1) for stride-2/even-size, torch pads (1,1) — different result).
+  * Nearest-neighbor 2^k upsampling in the fuse mesh = reshape+broadcast, which XLA
+    fuses into the following add.
+  * Module names mirror the torch dotted paths ("layer1"."0"."conv1", ...) so a single
+    generic state_dict converter covers every architecture (convert/torch2jax.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_MOMENTUM_FLAX = 0.9  # == torch BN momentum 0.1
+BN_EPS = 1e-5
+
+KERNEL_INIT = nn.initializers.normal(stddev=0.001)  # init_weights (pose_hrnet.py:578)
+
+
+def conv(features, kernel, stride=1, pad=None, bias=False, name=None, dtype=None):
+    if pad is None:
+        pad = (kernel - 1) // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=bias,
+        kernel_init=KERNEL_INIT,
+        name=name,
+        dtype=dtype,
+    )
+
+
+def batch_norm(name=None, dtype=None):
+    return nn.BatchNorm(momentum=BN_MOMENTUM_FLAX, epsilon=BN_EPS, name=name, dtype=dtype)
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, factor, W, factor, C))
+    return x.reshape(B, H * factor, W * factor, C)
+
+
+class BasicBlock(nn.Module):
+    """conv3x3-bn-relu-conv3x3-bn + residual (pose_hrnet.py:28-57)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)
+        out = batch_norm(name="bn1", dtype=self.dtype)(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, name="conv2", dtype=self.dtype)(out)
+        out = batch_norm(name="bn2", dtype=self.dtype)(out, use_running_average=not train)
+        if self.has_downsample:
+            residual = conv(self.planes, 1, self.stride, name="downsample.0", dtype=self.dtype)(x)
+            residual = batch_norm(name="downsample.1", dtype=self.dtype)(
+                residual, use_running_average=not train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1-3x3-1x1 with 4x expansion (pose_hrnet.py:60-98)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Any = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
+        out = batch_norm(name="bn1", dtype=self.dtype)(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, name="conv2", dtype=self.dtype)(out)
+        out = batch_norm(name="bn2", dtype=self.dtype)(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = conv(self.planes * self.expansion, 1, name="conv3", dtype=self.dtype)(out)
+        out = batch_norm(name="bn3", dtype=self.dtype)(out, use_running_average=not train)
+        if self.has_downsample:
+            residual = conv(self.planes * self.expansion, 1, self.stride,
+                            name="downsample.0", dtype=self.dtype)(x)
+            residual = batch_norm(name="downsample.1", dtype=self.dtype)(
+                residual, use_running_average=not train)
+        return nn.relu(out + residual)
+
+
+BLOCKS = {"BASIC": (BasicBlock, 1), "BOTTLENECK": (Bottleneck, 4)}
+
+
+@dataclasses.dataclass(frozen=True)
+class StageSpec:
+    num_modules: int
+    num_branches: int
+    block: str
+    num_blocks: tuple
+    num_channels: tuple
+
+    @staticmethod
+    def from_cfg(d) -> "StageSpec":
+        return StageSpec(
+            num_modules=int(d["NUM_MODULES"]),
+            num_branches=int(d["NUM_BRANCHES"]),
+            block=str(d["BLOCK"]),
+            num_blocks=tuple(d["NUM_BLOCKS"]),
+            num_channels=tuple(d["NUM_CHANNELS"]),
+        )
+
+    @property
+    def out_channels(self) -> tuple:
+        exp = BLOCKS[self.block][1]
+        return tuple(c * exp for c in self.num_channels)
+
+
+class HRModule(nn.Module):
+    """One HighResolutionModule: per-branch block stacks + full cross-resolution fuse
+    (pose_hrnet.py:101-265)."""
+
+    spec: StageSpec
+    in_channels: tuple
+    multi_scale_output: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        spec = self.spec
+        block_cls, exp = BLOCKS[spec.block]
+        nb = spec.num_branches
+
+        outs = []
+        for i in range(nb):
+            x = xs[i]
+            cin = self.in_channels[i]
+            cout = spec.num_channels[i] * exp
+            for k in range(spec.num_blocks[i]):
+                x = block_cls(
+                    planes=spec.num_channels[i],
+                    stride=1,
+                    has_downsample=(k == 0 and cin != cout),
+                    name=f"branches.{i}.{k}",
+                    dtype=self.dtype,
+                )(x, train=train)
+            outs.append(x)
+
+        if nb == 1:
+            return outs
+
+        chans = spec.out_channels
+        n_out = nb if self.multi_scale_output else 1
+        fused = []
+        for i in range(n_out):
+            y = None
+            for j in range(nb):
+                if j == i:
+                    t = outs[j]
+                elif j > i:
+                    t = conv(chans[i], 1, pad=0, name=f"fuse_layers.{i}.{j}.0",
+                             dtype=self.dtype)(outs[j])
+                    t = batch_norm(name=f"fuse_layers.{i}.{j}.1", dtype=self.dtype)(
+                        t, use_running_average=not train)
+                    t = upsample_nearest(t, 2 ** (j - i))
+                else:  # j < i: chain of stride-2 3x3s
+                    t = outs[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        co = chans[i] if last else chans[j]
+                        t = conv(co, 3, 2, name=f"fuse_layers.{i}.{j}.{k}.0",
+                                 dtype=self.dtype)(t)
+                        t = batch_norm(name=f"fuse_layers.{i}.{j}.{k}.1", dtype=self.dtype)(
+                            t, use_running_average=not train)
+                        if not last:
+                            t = nn.relu(t)
+                y = t if y is None else y + t
+            fused.append(nn.relu(y))
+        return fused
+
+
+class Transition(nn.Module):
+    """Between-stage transition (pose_hrnet.py:338-377).
+
+    Matches the reference forward semantics (pose_hrnet.py:469-491): a present
+    transition layer consumes the LAST previous branch; identity passes branch i.
+    """
+
+    pre_channels: tuple
+    cur_channels: tuple
+    name_prefix: str
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, ys: Sequence[jnp.ndarray], train: bool = False):
+        n_pre = len(self.pre_channels)
+        outs = []
+        for i, c_cur in enumerate(self.cur_channels):
+            if i < n_pre:
+                if c_cur != self.pre_channels[i]:
+                    t = conv(c_cur, 3, 1, name=f"{self.name_prefix}.{i}.0",
+                             dtype=self.dtype)(ys[-1])
+                    t = batch_norm(name=f"{self.name_prefix}.{i}.1", dtype=self.dtype)(
+                        t, use_running_average=not train)
+                    outs.append(nn.relu(t))
+                else:
+                    outs.append(ys[i])
+            else:
+                t = ys[-1]
+                for j in range(i + 1 - n_pre):
+                    co = c_cur if j == i - n_pre else self.pre_channels[-1]
+                    t = conv(co, 3, 2, name=f"{self.name_prefix}.{i}.{j}.0",
+                             dtype=self.dtype)(t)
+                    t = batch_norm(name=f"{self.name_prefix}.{i}.{j}.1", dtype=self.dtype)(
+                        t, use_running_average=not train)
+                    t = nn.relu(t)
+                outs.append(t)
+        return outs
+
+
+@dataclasses.dataclass(frozen=True)
+class HRNetSpec:
+    num_joints: int
+    stage2: StageSpec
+    stage3: StageSpec
+    stage4: StageSpec
+    final_conv_kernel: int = 1
+    use_pre_net: bool = False
+
+    @staticmethod
+    def from_cfg(cfg) -> "HRNetSpec":
+        extra = cfg.MODEL.EXTRA
+        return HRNetSpec(
+            num_joints=int(cfg.MODEL.NUM_JOINTS),
+            stage2=StageSpec.from_cfg(extra["STAGE2"]),
+            stage3=StageSpec.from_cfg(extra["STAGE3"]),
+            stage4=StageSpec.from_cfg(extra["STAGE4"]),
+            final_conv_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
+            use_pre_net=bool(extra.get("USE_PRE_NET", False)),
+        )
+
+
+class HRNetTrunk(nn.Module):
+    """Stem + layer1 + stages 2-4.  Shared by pose_hrnet, pose_hrnet_coam.
+
+    ``taps`` optionally receives per-stage hooks (used by CoAM injection); each hook is
+    ``f(list_of_branch_tensors, train) -> list``, applied right after the transition
+    (stages 1-3) and after stage4 fusion, mirroring pose_hrnet_coam.py:521-563.
+    """
+
+    spec: HRNetSpec
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, taps=(None, None, None, None)):
+        dt = self.dtype
+        x = conv(64, 3, 2, name="conv1", dtype=dt)(x)
+        x = batch_norm(name="bn1", dtype=dt)(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = conv(64, 3, 2, name="conv2", dtype=dt)(x)
+        x = batch_norm(name="bn2", dtype=dt)(x, use_running_average=not train)
+        x = nn.relu(x)
+
+        cin = 64
+        for k in range(4):
+            x = Bottleneck(planes=64, has_downsample=(k == 0 and cin != 256),
+                           name=f"layer1.{k}", dtype=dt)(x, train=train)
+            cin = 256
+
+        ys = [x]
+        pre = (256,)
+        for si, (stage, tname, sname) in enumerate([
+            (self.spec.stage2, "transition1", "stage2"),
+            (self.spec.stage3, "transition2", "stage3"),
+            (self.spec.stage4, "transition3", "stage4"),
+        ]):
+            cur = stage.out_channels
+            ys = Transition(pre_channels=pre, cur_channels=cur, name_prefix=tname,
+                            name=f"_{tname}", dtype=dt)(ys, train=train)
+            if taps[si] is not None:
+                ys = taps[si](ys, train)
+            last = si == 2
+            for m in range(stage.num_modules):
+                mso = not (last and m == stage.num_modules - 1)
+                ys = HRModule(spec=stage, in_channels=cur, multi_scale_output=mso,
+                              name=f"{sname}.{m}", dtype=dt)(ys, train=train)
+            pre = cur
+        if taps[3] is not None:
+            ys = taps[3](ys, train)
+        return ys
+
+
+class PreNet(nn.Module):
+    """BUCTD-preNet input fusion stems (pose_hrnet.py:431-442): the RGB stem is
+    conv3x3(3->64)+BN then conv7x7(64->3)+BN; the condition stem is conv7x7(3->3)+BN.
+    Outputs are summed (pose_hrnet.py:456-458).  Convs carry biases (torch default)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, rgb, cond, train: bool = False):
+        x0 = conv(64, 3, 1, bias=True, name="rgb_preNet.0", dtype=self.dtype)(rgb)
+        x0 = batch_norm(name="rgb_preNet.1", dtype=self.dtype)(x0, use_running_average=not train)
+        x0 = conv(3, 7, 1, bias=True, name="rgb_preNet.2", dtype=self.dtype)(x0)
+        x0 = batch_norm(name="rgb_preNet.3", dtype=self.dtype)(x0, use_running_average=not train)
+        x1 = conv(3, 7, 1, bias=True, name="cond_preNet.0", dtype=self.dtype)(cond)
+        x1 = batch_norm(name="cond_preNet.1", dtype=self.dtype)(x1, use_running_average=not train)
+        return x0 + x1
+
+
+class PoseHRNet(nn.Module):
+    """pose_hrnet / BUCTD-preNet.  Input NHWC with C = 3 (plain) or 3 + cond channels.
+
+    Returns (B, h/4, w/4, num_joints) heatmaps (NHWC).
+    """
+
+    spec: HRNetSpec
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.spec.use_pre_net:
+            assert x.shape[-1] >= 6, "preNet requires RGB + 3-channel condition input"
+            x = PreNet(name="_prenet", dtype=self.dtype)(
+                x[..., :3], x[..., 3:6], train=train)
+        ys = HRNetTrunk(spec=self.spec, name="_trunk", dtype=self.dtype)(x, train=train)
+        k = self.spec.final_conv_kernel
+        out = nn.Conv(self.spec.num_joints, (k, k), padding=((k // 2, k // 2),) * 2,
+                      use_bias=True, kernel_init=KERNEL_INIT, name="final_layer",
+                      dtype=self.dtype)(ys[0])
+        return out
+
+
+def get_pose_net(cfg, is_train: bool = False, dtype=None) -> PoseHRNet:
+    del is_train  # train/eval is a call-time flag in flax
+    return PoseHRNet(spec=HRNetSpec.from_cfg(cfg), dtype=dtype)
