@@ -40,8 +40,8 @@ def _convert_tensor(torch_arr: np.ndarray, flax_template: jnp.ndarray) -> np.nda
     arr = np.asarray(torch_arr)
     if arr.ndim == 4 and flax_template.ndim == 4:  # conv OIHW -> HWIO
         arr = arr.transpose(2, 3, 1, 0)
-    elif arr.ndim == 2 and flax_template.ndim == 2 and arr.shape != flax_template.shape:
-        arr = arr.T  # linear (out,in) -> (in,out)
+    elif arr.ndim == 2 and flax_template.ndim == 2:
+        arr = arr.T  # linear (out,in) -> (in,out); unconditional — square weights too
     if arr.shape != flax_template.shape:
         raise ValueError(
             f"shape mismatch: torch {arr.shape} vs flax {flax_template.shape}")
@@ -49,7 +49,7 @@ def _convert_tensor(torch_arr: np.ndarray, flax_template: jnp.ndarray) -> np.nda
 
 
 def torch_to_flax(state_dict: dict, flax_variables: dict, strict: bool = True,
-                  key_map=None) -> dict:
+                  key_map=None, ignore=()) -> dict:
     """Fill a flax variable tree from a torch state_dict.
 
     Args:
@@ -63,7 +63,7 @@ def torch_to_flax(state_dict: dict, flax_variables: dict, strict: bool = True,
     """
     sd = {}
     for k, v in state_dict.items():
-        if k.endswith("num_batches_tracked"):
+        if k.endswith("num_batches_tracked") or k in ignore:
             continue
         sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
 

@@ -1,0 +1,37 @@
+"""Model registry.
+
+The reference resolves architectures via string eval (tools/train.py:92); here it's an
+explicit registry keyed by the same MODEL.NAME values.
+"""
+
+from . import hrnet, hrnet_coam, resnet, transpose
+from .transpose import transpose_key_map
+
+_REGISTRY = {
+    "pose_hrnet": hrnet.get_pose_net,
+    "pose_hrnet_coam": hrnet_coam.get_pose_net,
+    "transpose_h": transpose.get_pose_net,
+    "pose_resnet": resnet.get_pose_net,
+}
+
+# per-model torch-key rewrites for the checkpoint converter
+KEY_MAPS = {"transpose_h": transpose_key_map}
+# torch state_dict entries with no flax counterpart (computed at runtime instead)
+IGNORE_TORCH_KEYS = {"transpose_h": ("pos_embedding",)}
+
+
+def get_model(cfg, is_train: bool = False, dtype=None):
+    name = cfg.MODEL.NAME
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown MODEL.NAME {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](cfg, is_train=is_train, dtype=dtype)
+
+
+def converter_options(name: str) -> dict:
+    return {
+        "key_map": KEY_MAPS.get(name),
+        "ignore": IGNORE_TORCH_KEYS.get(name, ()),
+    }
+
+
+__all__ = ["get_model", "converter_options", "KEY_MAPS", "IGNORE_TORCH_KEYS"]

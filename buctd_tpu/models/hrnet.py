@@ -259,15 +259,18 @@ class HRNetTrunk(nn.Module):
     """Stem + layer1 + stages 2-4.  Shared by pose_hrnet, pose_hrnet_coam.
 
     ``taps`` optionally receives per-stage hooks (used by CoAM injection); each hook is
-    ``f(list_of_branch_tensors, train) -> list``, applied right after the transition
-    (stages 1-3) and after stage4 fusion, mirroring pose_hrnet_coam.py:521-563.
+    ``f(list_of_branch_tensors, tap_arg, train) -> list``, applied right after the
+    transition (stages 1-3) and after stage4 fusion, mirroring
+    pose_hrnet_coam.py:521-563.  Hooks run inside this module's compact scope, so any
+    flax modules they construct become children of the trunk.
     """
 
     spec: HRNetSpec
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, taps=(None, None, None, None)):
+    def __call__(self, x, train: bool = False, taps=(None, None, None, None),
+                 tap_arg=None):
         dt = self.dtype
         x = conv(64, 3, 2, name="conv1", dtype=dt)(x)
         x = batch_norm(name="bn1", dtype=dt)(x, use_running_average=not train)
@@ -293,7 +296,7 @@ class HRNetTrunk(nn.Module):
             ys = Transition(pre_channels=pre, cur_channels=cur, name_prefix=tname,
                             name=f"_{tname}", dtype=dt)(ys, train=train)
             if taps[si] is not None:
-                ys = taps[si](ys, train)
+                ys = taps[si](ys, tap_arg, train)
             last = si == 2
             for m in range(stage.num_modules):
                 mso = not (last and m == stage.num_modules - 1)
@@ -301,7 +304,7 @@ class HRNetTrunk(nn.Module):
                               name=f"{sname}.{m}", dtype=dt)(ys, train=train)
             pre = cur
         if taps[3] is not None:
-            ys = taps[3](ys, train)
+            ys = taps[3](ys, tap_arg, train)
         return ys
 
 

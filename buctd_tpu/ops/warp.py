@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import make_affine_jax
 
@@ -57,6 +58,38 @@ def warp_affine(images: jnp.ndarray, trans_dst2src: jnp.ndarray, out_hw) -> jnp.
         return top * (1.0 - fy) + bot * fy
 
     return jax.vmap(warp_one)(images.astype(jnp.float32), trans_dst2src.astype(jnp.float32))
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers, NO antialias — matches
+    torch.nn.functional.interpolate(mode='bilinear', align_corners=False), which is what
+    torchvision 0.9's TF.resize does in the reference's CoAM blocks
+    (pose_hrnet_coam.py:755).  jax.image.resize antialiases on downscale, so it can't be
+    used here.
+
+    x: (..., H, W, C) -> (..., oh, ow, C).
+    """
+    H, W = x.shape[-3], x.shape[-2]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+
+    def axis_weights(in_size, out_size):
+        dst = np.arange(out_size, dtype=np.float64)
+        src = np.maximum((dst + 0.5) * (in_size / out_size) - 0.5, 0.0)
+        i0 = np.floor(src).astype(np.int32)
+        i0 = np.minimum(i0, in_size - 1)
+        i1 = np.minimum(i0 + 1, in_size - 1)
+        w1 = (src - i0).astype(np.float32)
+        return i0, i1, w1
+
+    y0, y1, wy = axis_weights(H, oh)
+    x0, x1, wx = axis_weights(W, ow)
+
+    top = jnp.take(x, y0, axis=-3)
+    bot = jnp.take(x, y1, axis=-3)
+    rows = top * (1.0 - wy)[:, None, None] + bot * wy[:, None, None]
+    left = jnp.take(rows, x0, axis=-2)
+    right = jnp.take(rows, x1, axis=-2)
+    return left * (1.0 - wx)[:, None] + right * wx[:, None]
 
 
 def crop_images(images, centers, scales, rots, out_size) -> jnp.ndarray:

@@ -51,7 +51,8 @@ def _cfg(yaml_name="w32_384x288_adam_lr1e-3.yaml", opts=()):
     return cfg
 
 
-def _compare(torch_model, flax_model, x_nchw, rtol=2e-3, atol=1e-6, train=False):
+def _compare(torch_model, flax_model, x_nchw, rtol=2e-3, atol=1e-6, train=False,
+             key_map=None, ignore=()):
     import jax
 
     torch_model.eval()
@@ -60,7 +61,8 @@ def _compare(torch_model, flax_model, x_nchw, rtol=2e-3, atol=1e-6, train=False)
 
     x_nhwc = np.transpose(x_nchw, (0, 2, 3, 1))
     template = flax_model.init(jax.random.PRNGKey(0), x_nhwc, train=False)
-    variables = torch_to_flax(torch_model.state_dict(), template)
+    variables = torch_to_flax(torch_model.state_dict(), template,
+                              key_map=key_map, ignore=ignore)
     got = np.asarray(flax_model.apply(variables, x_nhwc, train=False))
     got = np.transpose(got, (0, 3, 1, 2))
 
@@ -78,6 +80,89 @@ def test_pose_hrnet_w32_parity():
     torch_model = ref_hrnet.get_pose_net(cfg, is_train=False)
     flax_model = get_pose_net(cfg)
     x = np.random.RandomState(0).randn(2, 3, 128, 96).astype(np.float32)
+    _compare(torch_model, flax_model, x)
+
+
+def test_pose_hrnet_coam_parity():
+    # flagship BUCTD-CoAM config (scripts/train/train_BUCTD_COAM.sh)
+    cfg = _cfg(opts=["MODEL.NAME", "pose_hrnet_coam",
+                     "MODEL.EXTRA.USE_ATTENTION", "True",
+                     "MODEL.ATT_MODULES", "[False, True, False, False]",
+                     "MODEL.ATT_CHANNEL_ONLY", "False",
+                     "MODEL.ATTENTION_HEADS", "1",
+                     "MODEL.CONDITIONAL_TOPDOWN", "True",
+                     "DATASET.COLORED", "True",
+                     # small input so the resolution-specific attention is cheap
+                     "MODEL.IMAGE_SIZE", "[96, 128]"])
+    import models.pose_hrnet_coam as ref_coam
+    from buctd_tpu.models.hrnet_coam import get_pose_net
+
+    torch_model = ref_coam.get_pose_net(cfg, is_train=False)
+    flax_model = get_pose_net(cfg)
+    x = np.random.RandomState(2).randn(2, 6, 128, 96).astype(np.float32)
+    # make the condition channels heatmap-like (nonnegative, sparse-ish)
+    x[:, 3:] = np.abs(x[:, 3:]) * 10
+    _compare(torch_model, flax_model, x)
+
+
+def test_pose_hrnet_coam_channel_only_and_selfatt_parity():
+    cfg = _cfg(opts=["MODEL.NAME", "pose_hrnet_coam",
+                     "MODEL.EXTRA.USE_ATTENTION", "True",
+                     "MODEL.ATT_MODULES", "[False, True, False, False]",
+                     "MODEL.ATT_CHANNEL_ONLY", "True",
+                     "MODEL.SELFATT_MODULES", "[False, False, True, False]",
+                     "MODEL.CONDITIONAL_TOPDOWN", "True",
+                     "DATASET.COLORED", "True",
+                     "MODEL.IMAGE_SIZE", "[64, 64]"])
+    import models.pose_hrnet_coam as ref_coam
+    from buctd_tpu.models.hrnet_coam import get_pose_net
+
+    torch_model = ref_coam.get_pose_net(cfg, is_train=False)
+    flax_model = get_pose_net(cfg)
+    x = np.random.RandomState(3).randn(1, 6, 64, 64).astype(np.float32)
+    x[:, 3:] = np.abs(x[:, 3:]) * 10
+    _compare(torch_model, flax_model, x)
+
+
+def test_transpose_h_parity():
+    cfg = _cfg(opts=["MODEL.NAME", "transpose_h",
+                     "MODEL.EXTRA.USE_ATTENTION", "True",
+                     "MODEL.CONDITIONAL_TOPDOWN", "True",
+                     "MODEL.DIM_MODEL", "96",
+                     "MODEL.DIM_FEEDFORWARD", "192",
+                     "MODEL.N_HEAD", "2",
+                     "MODEL.ENCODER_LAYERS", "3",
+                     "MODEL.POS_EMBEDDING", "sine",
+                     "DATASET.COLORED", "True",
+                     "MODEL.IMAGE_SIZE", "[96, 128]",
+                     # trim stage3 so the test stays fast
+                     "MODEL.EXTRA.STAGE3.NUM_MODULES", "1"])
+    import models.transpose_h as ref_tp
+    from buctd_tpu.models.transpose import get_pose_net
+    from buctd_tpu.models import converter_options
+
+    torch_model = ref_tp.get_pose_net(cfg, is_train=False)
+    flax_model = get_pose_net(cfg)
+    x = np.random.RandomState(4).randn(2, 6, 128, 96).astype(np.float32)
+    x[:, 3:] = np.abs(x[:, 3:]) * 10
+    _compare(torch_model, flax_model, x, **converter_options("transpose_h"))
+
+
+def test_pose_resnet_parity():
+    cfg = _cfg(opts=["MODEL.NAME", "pose_resnet",
+                     "MODEL.EXTRA.NUM_LAYERS", "50",
+                     "MODEL.EXTRA.NUM_DECONV_LAYERS", "3",
+                     "MODEL.EXTRA.NUM_DECONV_FILTERS", "[256, 256, 256]",
+                     "MODEL.EXTRA.NUM_DECONV_KERNELS", "[4, 4, 4]",
+                     "MODEL.EXTRA.DECONV_WITH_BIAS", "False",
+                     "MODEL.EXTRA.USE_PRE_NET", "True",
+                     "MODEL.CONDITIONAL_TOPDOWN", "True"])
+    import models.pose_resnet as ref_rn
+    from buctd_tpu.models.resnet import get_pose_net
+
+    torch_model = ref_rn.get_pose_net(cfg, is_train=False)
+    flax_model = get_pose_net(cfg)
+    x = np.random.RandomState(5).randn(1, 6, 64, 64).astype(np.float32)
     _compare(torch_model, flax_model, x)
 
 
