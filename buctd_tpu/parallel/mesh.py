@@ -1,0 +1,52 @@
+"""Device mesh + sharding utilities.
+
+The reference's only parallelism is single-process torch DataParallel
+(tools/train.py:147); here parallelism is first-class TPU-native: a
+``jax.sharding.Mesh`` over ICI, batch-sharded inputs (`P('data')`), replicated
+parameters, and XLA-inserted psums for gradient reduction.  Multi-host (DCN) extends
+the same mesh via ``jax.distributed.initialize`` — same code path.
+
+BUCTD models are small (<64M params) and activations dominate, so pure data
+parallelism is the right mapping; the mesh shape stays configurable (TPU.MESH_SHAPE /
+TPU.MESH_AXES) for future model axes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if cfg is not None:
+        shape = [int(s) for s in cfg.TPU.MESH_SHAPE]
+        axes = tuple(cfg.TPU.MESH_AXES)
+    else:
+        shape, axes = [-1], ("data",)
+    n = len(devices)
+    known = int(np.prod([s for s in shape if s > 0])) or 1
+    shape = tuple(n // known if s == -1 else s for s in shape)
+    assert int(np.prod(shape)) == n, f"mesh {shape} != {n} devices"
+    return Mesh(np.array(devices).reshape(shape), axes)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays batch-sharded over the mesh's data axis."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/state) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

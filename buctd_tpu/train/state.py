@@ -1,0 +1,130 @@
+"""Train state, optimizer/schedule factory, and the jitted+sharded train step.
+
+Optimizer semantics match the reference (lib/utils/utils.py:256-272): Adam with LR
+only (no weight decay), or SGD(momentum, wd, nesterov); LR follows torch MultiStepLR
+(step-wise decay by LR_FACTOR at LR_STEP epochs — tools/train.py:212-215).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..core.loss import make_loss
+from ..core.metrics import pck_accuracy
+from ..parallel.mesh import data_sharding, replicated_sharding
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_lr_schedule(cfg, steps_per_epoch: int):
+    """torch MultiStepLR: lr * LR_FACTOR**(#milestones passed), stepped per epoch."""
+    base = float(cfg.TRAIN.LR)
+    factor = float(cfg.TRAIN.LR_FACTOR)
+    boundaries = {int(e) * steps_per_epoch: factor for e in cfg.TRAIN.LR_STEP}
+    return optax.piecewise_constant_schedule(base, boundaries)
+
+
+def make_optimizer(cfg, steps_per_epoch: int):
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    if cfg.TRAIN.OPTIMIZER == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(float(cfg.TRAIN.WD)),
+            optax.sgd(sched, momentum=float(cfg.TRAIN.MOMENTUM),
+                      nesterov=bool(cfg.TRAIN.NESTEROV)),
+        )
+    elif cfg.TRAIN.OPTIMIZER == "adam":
+        tx = optax.adam(sched)  # reference passes lr only (utils.py:267-270)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.TRAIN.OPTIMIZER}")
+    return tx, sched
+
+
+def create_train_state(cfg, model, rng, sample_input, steps_per_epoch: int = 1,
+                       variables: dict | None = None) -> TrainState:
+    if variables is None:
+        variables = model.init(rng, sample_input, train=False)
+    tx, _ = make_optimizer(cfg, steps_per_epoch)
+    params = variables["params"]
+    if isinstance(params, FrozenDict):
+        params = params.unfreeze()
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(cfg, model, mesh=None):
+    """Build the jitted train step.
+
+    batch: dict with 'input' (B,H,W,C), 'target' (B,h,w,J), 'target_weight' (B,J).
+    Returns (new_state, metrics dict).  With a mesh, inputs are batch-sharded and
+    state replicated; XLA inserts the gradient psums over ICI.
+    """
+    loss_fn = make_loss(cfg)
+
+    def step_fn(state: TrainState, batch, dropout_rng):
+        def compute_loss(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["input"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            loss = loss_fn(out, batch["target"], batch["target_weight"])
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        # PCK on (B,J,h,w) layout
+        acc, cnt, _ = pck_accuracy(out.transpose(0, 3, 1, 2),
+                                   batch["target"].transpose(0, 3, 1, 2))
+        return new_state, {"loss": loss, "acc": acc, "cnt": cnt}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    repl = replicated_sharding(mesh)
+    data = data_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=0,
+    )
+
+
+def make_eval_step(cfg, model, mesh=None):
+    """Forward-only step returning NHWC heatmaps."""
+
+    def step_fn(variables, inputs):
+        return model.apply(variables, inputs, train=False)
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = replicated_sharding(mesh)
+    data = data_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=data)

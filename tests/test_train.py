@@ -1,0 +1,152 @@
+"""Training-layer tests: loss parity vs torch, sharded train step on an 8-device CPU
+mesh, LR schedule, checkpoint round-trip."""
+
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from buctd_tpu.config import default_config, update_config
+from buctd_tpu.core.loss import joints_mse_loss, joints_ohkm_mse_loss
+from buctd_tpu.core.metrics import pck_accuracy
+
+
+def _small_cfg(opts=()):
+    cfg = default_config()
+    args = types.SimpleNamespace(
+        cfg="/root/reference/experiments/coco/hrnet/w32_384x288_adam_lr1e-3.yaml",
+        opts=list(opts), modelDir="", logDir="", dataDir="")
+    update_config(cfg, args)
+    return cfg
+
+
+def test_joints_mse_loss_matches_torch():
+    torch = pytest.importorskip("torch")
+    B, h, w, J = 4, 16, 12, 17
+    rng = np.random.RandomState(0)
+    pred = rng.rand(B, h, w, J).astype(np.float32)
+    tgt = rng.rand(B, h, w, J).astype(np.float32)
+    wgt = (rng.rand(B, J) > 0.3).astype(np.float32)
+
+    got = float(joints_mse_loss(jnp.array(pred), jnp.array(tgt), jnp.array(wgt)))
+
+    # torch reference semantics (loss.py:17-41)
+    crit = torch.nn.MSELoss(reduction="mean")
+    p = torch.from_numpy(pred.transpose(0, 3, 1, 2)).reshape(B, J, -1)
+    t = torch.from_numpy(tgt.transpose(0, 3, 1, 2)).reshape(B, J, -1)
+    tw = torch.from_numpy(wgt)[:, :, None]
+    want = 0.0
+    for j in range(J):
+        want += 0.5 * crit(p[:, j] * tw[:, j], t[:, j] * tw[:, j])
+    want = float(want / J)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ohkm_loss_selects_hard_joints():
+    B, h, w, J = 2, 8, 8, 17
+    pred = np.zeros((B, h, w, J), np.float32)
+    tgt = np.zeros((B, h, w, J), np.float32)
+    tgt[..., 0] = 1.0  # joint 0 is hard
+    wgt = np.ones((B, J), np.float32)
+    full = float(joints_mse_loss(jnp.array(pred), jnp.array(tgt), jnp.array(wgt)))
+    ohkm = float(joints_ohkm_mse_loss(jnp.array(pred), jnp.array(tgt), jnp.array(wgt), topk=1))
+    assert ohkm > full  # mining concentrates on the hard joint
+
+
+def test_pck_accuracy_perfect_and_shifted():
+    from buctd_tpu.ops import generate_target
+    J = 17
+    joints = np.random.RandomState(1).rand(2, J, 2).astype(np.float32) * [280, 370] + 4
+    vis = np.ones((2, J))
+    tgt, _ = generate_target(jnp.array(joints), jnp.array(vis), (288, 384), (72, 96), 3)
+    acc, cnt, _ = pck_accuracy(tgt, tgt)
+    assert float(acc) == 1.0
+    # heavily shifted predictions -> low accuracy
+    shifted, _ = generate_target(jnp.array(joints + 150), jnp.array(vis),
+                                 (288, 384), (72, 96), 3)
+    acc2, _, _ = pck_accuracy(shifted, tgt)
+    assert float(acc2) < 0.3
+
+
+def test_lr_schedule_multistep():
+    from buctd_tpu.train.state import make_lr_schedule
+    cfg = _small_cfg()  # LR=1e-3, steps [170, 200], factor 0.1
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(170 * 10)) == pytest.approx(1e-4)
+    assert float(sched(200 * 10 + 5)) == pytest.approx(1e-5)
+
+
+def test_sharded_train_step_runs_and_learns():
+    from buctd_tpu.models import get_model
+    from buctd_tpu.parallel import make_mesh, shard_batch, replicate
+    from buctd_tpu.train.state import create_train_state, make_train_step
+
+    cfg = _small_cfg([
+        "MODEL.IMAGE_SIZE", "[64, 64]", "MODEL.HEATMAP_SIZE", "[16, 16]",
+        # tiny net: 1 module everywhere
+        "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+        "TRAIN.LR", "0.001",
+    ])
+    assert len(jax.devices()) == 8, "expected virtual 8-device CPU mesh"
+    mesh = make_mesh(cfg)
+    model = get_model(cfg)
+
+    B = 16
+    rng = np.random.RandomState(0)
+    from buctd_tpu.ops import generate_target
+    joints = rng.rand(B, 17, 2).astype(np.float32) * 56 + 4
+    tgt, _ = generate_target(jnp.array(joints), jnp.ones((B, 17)), (64, 64), (16, 16), 2)
+    batch = {
+        "input": rng.rand(B, 64, 64, 3).astype(np.float32),
+        "target": np.asarray(tgt).transpose(0, 2, 3, 1),
+        "target_weight": np.ones((B, 17), np.float32),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), steps_per_epoch=10)
+    state = replicate(state, mesh)
+    sb = shard_batch(batch, mesh)
+    step = make_train_step(cfg, model, mesh)
+    d_rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for i in range(10):
+        state, metrics = step(state, sb, d_rng)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 10
+    # skip step 0 (pre-update loss); training on a fixed batch must reduce loss
+    assert losses[-1] < losses[1], f"loss did not decrease: {losses}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from buctd_tpu.models import get_model
+    from buctd_tpu.train.state import create_train_state
+    from buctd_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
+
+    cfg = _small_cfg([
+        "MODEL.IMAGE_SIZE", "[64, 64]", "MODEL.HEATMAP_SIZE", "[16, 16]",
+        "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+    ])
+    model = get_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+    state = state.replace(step=state.step + 7)
+    save_checkpoint(state, str(tmp_path), is_best=True, perf=12.3)
+
+    fresh = create_train_state(cfg, model, jax.random.PRNGKey(1),
+                               jnp.zeros((1, 64, 64, 3)))
+    restored, found = restore_checkpoint(fresh, str(tmp_path))
+    assert found
+    assert int(restored.step) == 7
+    k0 = jax.tree.leaves(state.params)[0]
+    k1 = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+    # missing dir -> found False
+    _, found2 = restore_checkpoint(fresh, str(tmp_path / "nope"))
+    assert not found2
