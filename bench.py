@@ -1,0 +1,183 @@
+"""End-to-end throughput benchmark: warp -> condition render -> forward -> decode.
+
+Flagship: BUCTD-preNet-W48 384x288 (COCO headline model, BASELINE.md).  The whole
+pipeline is ONE jitted program on device: batched affine crop (ops/warp.py), colored
+condition rendering (ops/heatmap.py), bf16 HRNet-W48 forward, argmax+nudge decode and
+inverse-affine unprojection (ops/decode.py).  Baseline is the reference's own PyTorch
+pipeline on CPU (cv2.warpAffine + torch forward + numpy get_final_preds), run in
+process from /root/reference — per BASELINE.json: target >=5x crops/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+B = 32          # crops per step
+STEPS = 20      # timed steps
+SRC_HW = 512    # synthetic source image side
+N_TORCH = 3     # baseline crops to time (single measurement, extrapolated)
+
+
+def _flagship_cfg():
+    from buctd_tpu.config import default_config, update_config
+
+    cfg = default_config()
+    update_config(cfg, types.SimpleNamespace(
+        cfg="/root/repo/experiments/coco/buctd/prenet_w48_384x288.yaml",
+        opts=["TEST.POST_PROCESS", "True"], modelDir="", logDir="", dataDir=""))
+    return cfg
+
+
+def _synth_inputs(rng, n):
+    images = rng.rand(n, SRC_HW, SRC_HW, 3).astype(np.float32)
+    centers = rng.rand(n, 2).astype(np.float32) * 200 + 150
+    scales = (rng.rand(n, 2).astype(np.float32) * 0.5 + 1.0)  # *200px boxes
+    joints = rng.rand(n, 17, 2).astype(np.float32) * 180 + 60  # near center, src frame
+    return images, centers, scales, joints
+
+
+def measure_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from buctd_tpu.geometry import affine_points_jax, make_affine_jax
+    from buctd_tpu.models import get_model
+    from buctd_tpu.ops import get_final_preds, render_condition_colored
+    from buctd_tpu.ops.warp import warp_affine_aligned
+
+    cfg = _flagship_cfg()
+    model = get_model(cfg, dtype=jnp.bfloat16)
+    img_w, img_h = cfg.MODEL.IMAGE_SIZE
+    hm_w, hm_h = cfg.MODEL.HEATMAP_SIZE
+    colors = np.linspace(0, 255, cfg.MODEL.NUM_JOINTS * 3).reshape(-1, 3)
+
+    rng = np.random.RandomState(0)
+    images, centers, scales, joints = _synth_inputs(rng, B)
+    x0 = jnp.zeros((1, img_h, img_w, 6), jnp.float32)
+    # shape-only init + one jitted constant program: avoids dispatching hundreds of
+    # eager init ops through the device tunnel (weights' values don't affect timing)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x0, train=False))
+    variables = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+
+    mean = jnp.array([0.485, 0.456, 0.406])
+    std = jnp.array([0.229, 0.224, 0.225])
+
+    def pipeline(variables, images, centers, scales, cond_src):
+        zeros = jnp.zeros(centers.shape[0])
+        # source -> crop frame: warp RGB and condition joints with the same affine
+        # (axis-aligned two-matmul path: eval/inference crops always have rot=0)
+        t_inv = make_affine_jax(centers, scales, zeros, (img_w, img_h), inv=True)
+        crops = warp_affine_aligned(images, t_inv, (img_h, img_w))
+        t_fwd = make_affine_jax(centers, scales, zeros, (img_w, img_h), inv=False)
+        cond_crop = affine_points_jax(cond_src, t_fwd)
+        cond_img = render_condition_colored(cond_crop, colors, (img_h, img_w)) / 255.0
+        x = jnp.concatenate([(crops - mean) / std, cond_img], axis=-1)
+        hm = model.apply(variables, x, train=False)          # (B, hm_h, hm_w, J)
+        hm = hm.astype(jnp.float32).transpose(0, 3, 1, 2)    # decode wants (B, J, h, w)
+        preds, maxvals = get_final_preds(hm, centers, scales, (hm_w, hm_h),
+                                         post_process=True, use_dark=False)
+        return preds, maxvals
+
+    fn = jax.jit(pipeline)
+    args = (variables, jnp.array(images), jnp.array(centers), jnp.array(scales),
+            jnp.array(joints))
+    # NB: on the axon relay backend block_until_ready() returns before execution
+    # finishes; a host fetch is the only reliable fence, so time through np.asarray.
+    np.asarray(fn(*args)[0])  # compile
+    for _ in range(3):        # warm
+        np.asarray(fn(*args)[0])
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(STEPS):
+        preds, maxvals = fn(*args)
+        s = preds.sum() + maxvals.sum()
+        acc = s if acc is None else acc + s
+    float(acc)                # one host fetch fences the whole dependency chain
+    dt = time.perf_counter() - t0
+    return B * STEPS / dt, jax.devices()[0].platform
+
+
+def measure_torch_cpu():
+    """Reference pipeline, run (not copied) from /root/reference on CPU."""
+    import cv2
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    sys.path.insert(0, "/root/reference/lib")
+    torch.Tensor.cuda = lambda self, *a, **k: self      # preNet branch calls .cuda()
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    if "torchvision" not in sys.modules:                 # only TF.resize is ever used
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        tf = types.ModuleType("torchvision.transforms.functional")
+        tf.resize = lambda img, size, *a, **k: torch.nn.functional.interpolate(
+            img, size=list(size), mode="bilinear", align_corners=False)
+        tr.functional = tf
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+        sys.modules["torchvision.transforms.functional"] = tf
+    from models import pose_hrnet                        # reference torch model
+    from utils.transforms import get_affine_transform    # reference geometry
+    from core.inference import get_final_preds           # reference decode
+
+    cfg = _flagship_cfg()
+    model = pose_hrnet.get_pose_net(cfg, is_train=False)
+    model.eval()
+    img_w, img_h = cfg.MODEL.IMAGE_SIZE
+    colors = np.linspace(0, 255, cfg.MODEL.NUM_JOINTS * 3).reshape(-1, 3)
+
+    rng = np.random.RandomState(0)
+    images, centers, scales, joints = _synth_inputs(rng, N_TORCH + 1)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def one(i):
+        trans = get_affine_transform(centers[i], scales[i], 0, (img_w, img_h))
+        crop = cv2.warpAffine(images[i], trans, (img_w, img_h), flags=cv2.INTER_LINEAR)
+        pts = joints[i] @ trans[:, :2].T + trans[:, 2]
+        cond = np.zeros((img_h, img_w, 3), np.float32)   # reference-style point splat
+        for j, (x, y) in enumerate(pts):
+            if 0 <= int(x) < img_w and 0 <= int(y) < img_h:
+                cond[int(y), int(x)] = colors[j]
+        cond = cv2.GaussianBlur(cond, (0, 0), 15)
+        if cond.max() > 0:
+            cond = cond / cond.max() * 255.0
+        x_in = np.concatenate([(crop - mean) / std, cond / 255.0], axis=-1)
+        with torch.no_grad():
+            hm = model(torch.from_numpy(x_in.transpose(2, 0, 1)[None]))
+        get_final_preds(cfg, hm.numpy(), centers[i:i + 1], scales[i:i + 1])
+
+    one(N_TORCH)  # warm
+    t0 = time.perf_counter()
+    for i in range(N_TORCH):
+        one(i)
+    dt = time.perf_counter() - t0
+    return N_TORCH / dt
+
+
+def main():
+    tpu_cps, platform = measure_tpu()
+    try:
+        torch_cps = measure_torch_cpu()
+    except Exception as e:  # baseline must not sink the bench
+        print(f"# torch baseline failed: {e!r}", file=sys.stderr)
+        torch_cps = float("nan")
+    vs = tpu_cps / torch_cps if torch_cps == torch_cps else float("nan")
+    print(json.dumps({
+        "metric": f"e2e_crops_per_sec_per_chip[{platform},BUCTD-preNet-W48,384x288,warp+render+fwd+decode]",
+        "value": round(tpu_cps, 2),
+        "unit": "crops/s",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,26 +103,55 @@ def generate_target(joints, joints_vis, image_size, heatmap_size, sigma):
 # ---------------------------------------------------------------------------
 # condition renderings
 # ---------------------------------------------------------------------------
+#
+# The reference renders each condition by scatter-splatting points then blurring
+# (JointsDataset.py:457-543).  Scatter is slow on TPU, but blur(splat) is linear, so we
+# compute the blurred image in closed form: for each joint, the blurred one-hot factors
+# into an outer product of two 1-D blurred-delta profiles, i.e. columns of the
+# (reflect-padded) blur matrix.  The whole render becomes one einsum on the MXU.
 
-def _splat(points, values, out_hw, channels):
-    """Place per-joint values at (y-1, x-1) with the reference's strict-bound test
-    ``0 < x < W and 0 < y < H`` (JointsDataset.py:476-479, :524-528).
+@functools.lru_cache(maxsize=8)
+def _blur_matrix(size: int, ksize: int) -> np.ndarray:
+    """(size, size) matrix M with M @ v == separable blur of v (reflect-101 pad)."""
+    kernel = opencv_gaussian_kernel(ksize)
+    r = ksize // 2
+    idx = np.arange(-r, size + r)
+    idx = np.abs(idx)                          # reflect-101 lower edge
+    idx = np.where(idx >= size, 2 * size - 2 - idx, idx)  # upper edge
+    m = np.zeros((size, size), np.float32)
+    for t in range(ksize):
+        m[np.arange(size), idx[t:t + size]] += kernel[t]
+    return m
 
-    Joints are written in order (later joints overwrite), matching the python loop.
-    points: (J, 2) float; values: (J, channels).
+
+def _delta_profiles(points, out_hw, ksize, overwrite: bool):
+    """Blurred per-joint axis profiles for a splat at (y-1, x-1).
+
+    points: (B, J, 2).  Returns ky (B, J, H), kx (B, J, W), keep (B, J) — keep applies
+    the strict bounds test (0 < x < W, 0 < y < H, JointsDataset.py:476-479) and, when
+    ``overwrite`` (single-canvas renders), drops joints overwritten by a LATER joint
+    landing on the same pixel (the reference's python loop write order).
     """
     H, W = out_hw
-    canvas = jnp.zeros((H, W, channels), jnp.float32)
-    pts = jnp.trunc(points).astype(jnp.int32)  # .astype(int) in the reference
-    J = points.shape[0]
-    for j in range(J):  # static unroll, J <= 17
-        x, y = pts[j, 0], pts[j, 1]
-        valid = (x > 0) & (x < W) & (y > 0) & (y < H)
-        yc = jnp.clip(y - 1, 0, H - 1)
-        xc = jnp.clip(x - 1, 0, W - 1)
-        old = canvas[yc, xc]
-        canvas = canvas.at[yc, xc].set(jnp.where(valid, values[j], old))
-    return canvas
+    pts = jnp.trunc(points.astype(jnp.float32)).astype(jnp.int32)
+    x, y = pts[..., 0], pts[..., 1]
+    valid = (x > 0) & (x < W) & (y > 0) & (y < H)
+    xc = jnp.clip(x - 1, 0, W - 1)
+    yc = jnp.clip(y - 1, 0, H - 1)
+
+    keep = valid
+    if overwrite:
+        same = (xc[:, :, None] == xc[:, None, :]) & (yc[:, :, None] == yc[:, None, :])
+        J = points.shape[1]
+        later = np.triu(np.ones((J, J), bool), 1)          # j' > j
+        clobbered = jnp.any(same & later & valid[:, None, :], axis=2)
+        keep = valid & ~clobbered
+
+    by = jnp.asarray(_blur_matrix(H, ksize))
+    bx = jnp.asarray(_blur_matrix(W, ksize))
+    ky = by.T[yc] * keep[..., None]                         # (B, J, H)
+    kx = bx.T[xc] * keep[..., None]                         # (B, J, W)
+    return ky, kx, keep
 
 
 def _peak_normalize(hm):
@@ -139,12 +168,10 @@ def render_condition_colored(cond_joints, colors, out_hw):
     Returns (B, H, W, 3) float32, peak-normalized to 255 across all channels.
     """
     colors = jnp.asarray(colors, jnp.float32)
-
-    def one(pts):
-        canvas = _splat(pts[:, :2], colors, out_hw, 3)
-        return _peak_normalize(gaussian_blur2d(canvas, 15))
-
-    return jax.vmap(one)(cond_joints.astype(jnp.float32))
+    ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=True)
+    canvas = jnp.einsum("bjh,bjw,jc->bhwc", ky, kx, colors)
+    am = jnp.max(canvas, axis=(1, 2, 3), keepdims=True)
+    return jnp.where(am == 0, canvas, canvas * (255.0 / am))
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))
@@ -154,16 +181,10 @@ def render_condition_stacked(cond_joints, out_hw):
     Each channel is blurred and peak-normalized independently, as the reference calls
     generate_heatmap per joint.  Returns (B, H, W, J) float32.
     """
-    J = cond_joints.shape[1]
-
-    def one(pts):
-        vals = jnp.eye(J, dtype=jnp.float32) * 255.0  # joint j -> 255 in channel j
-        canvas = _splat(pts[:, :2], vals, out_hw, J)
-        blurred = gaussian_blur2d(canvas, 15)
-        am = jnp.max(blurred, axis=(0, 1), keepdims=True)
-        return jnp.where(am == 0, blurred, blurred * (255.0 / am))
-
-    return jax.vmap(one)(cond_joints.astype(jnp.float32))
+    ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=False)
+    canvas = jnp.einsum("bjh,bjw->bhwj", ky, kx) * 255.0
+    am = jnp.max(canvas, axis=(1, 2), keepdims=True)
+    return jnp.where(am == 0, canvas, canvas * (255.0 / am))
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))
@@ -173,11 +194,8 @@ def render_condition_plain(cond_joints, out_hw):
     The reference casts the final map to int (JointsDataset.py:514) — reproduced with a
     trunc.  Returns (B, H, W, 3) float32 (integer-valued).
     """
-    def one(pts):
-        vals = jnp.full((pts.shape[0], 1), 255.0, jnp.float32)
-        canvas = _splat(pts[:, :2], vals, out_hw, 1)
-        hm = _peak_normalize(gaussian_blur2d(canvas, 15))
-        hm = jnp.trunc(hm)
-        return jnp.repeat(hm, 3, axis=-1)
-
-    return jax.vmap(one)(cond_joints.astype(jnp.float32))
+    ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=True)
+    canvas = jnp.einsum("bjh,bjw->bhw", ky, kx) * 255.0
+    am = jnp.max(canvas, axis=(1, 2), keepdims=True)
+    hm = jnp.trunc(jnp.where(am == 0, canvas, canvas * (255.0 / am)))
+    return jnp.repeat(hm[..., None], 3, axis=-1)

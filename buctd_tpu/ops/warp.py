@@ -92,10 +92,55 @@ def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     return left * (1.0 - wx)[:, None] + right * wx[:, None]
 
 
+def _axis_taps(coord, in_size):
+    """Bilinear tap-weight matrix (..., out, in): relu(1 - |src - idx|).
+
+    Rows whose source coordinate is out of [-1, in_size] get all-zero weights, which is
+    exactly cv2 BORDER_CONSTANT(0); taps at fractional border positions blend with 0.
+    """
+    idx = jax.lax.broadcasted_iota(jnp.float32, (1, in_size), 1)
+    return jax.nn.relu(1.0 - jnp.abs(coord[..., None] - idx))
+
+
+def warp_affine_aligned(images: jnp.ndarray, trans_dst2src: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Axis-aligned (rot == 0) warp as two batched matmuls — MXU-friendly.
+
+    Bilinear gather is scatter/gather-bound on TPU; for the zero-rotation case (all of
+    eval/inference, and most of training) the interpolation is separable:
+    ``out = Wy @ img @ Wx^T`` with banded 2-tap weight matrices.  ~20 GFLOP for a
+    batch-32 512->384x288 crop: microseconds of MXU time vs ~270 ms for the gather form.
+
+    trans_dst2src must have zero off-diagonal terms (rot == 0).
+    """
+    B, H, W, C = images.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    t = trans_dst2src.astype(jnp.float32)
+
+    ox = jax.lax.broadcasted_iota(jnp.float32, (1, ow), 1)
+    oy = jax.lax.broadcasted_iota(jnp.float32, (1, oh), 1)
+    sx = t[:, 0, 0, None] * ox + t[:, 0, 2, None]          # (B, ow)
+    sy = t[:, 1, 1, None] * oy + t[:, 1, 2, None]          # (B, oh)
+
+    wy = _axis_taps(sy, H)                                  # (B, oh, H)
+    wx = _axis_taps(sx, W)                                  # (B, ow, W)
+
+    img = images.astype(jnp.float32).reshape(B, H, W * C)
+    rows = jnp.einsum("boh,bhx->box", wy, img)              # (B, oh, W*C)
+    rows = rows.reshape(B, oh, W, C).transpose(0, 1, 3, 2).reshape(B, oh * C, W)
+    out = jnp.einsum("bqw,bow->bqo", rows, wx)              # (B, oh*C, ow)
+    return out.reshape(B, oh, C, ow).transpose(0, 1, 3, 2)
+
+
 def crop_images(images, centers, scales, rots, out_size) -> jnp.ndarray:
     """Crop per-instance boxes out of (padded) source images.
 
     ``out_size`` is (width, height) per the reference's MODEL.IMAGE_SIZE convention.
+    Pass ``rots=None`` (static) to use the axis-aligned two-matmul fast path.
     """
+    if rots is None:
+        trans_inv = make_affine_jax(centers, scales,
+                                    jnp.zeros(jnp.asarray(centers).shape[:-1]),
+                                    out_size, inv=True)
+        return warp_affine_aligned(images, trans_inv, (int(out_size[1]), int(out_size[0])))
     trans_inv = make_affine_jax(centers, scales, rots, out_size, inv=True)
     return warp_affine(images, trans_inv, (int(out_size[1]), int(out_size[0])))
