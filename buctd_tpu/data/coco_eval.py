@@ -233,3 +233,8 @@ class COCOKeypointEval:
             self._ar("all"), self._ar("all", 0.5), self._ar("all", 0.75),
             self._ap("easy"), self._ap("medium"), self._ap("hard"),
         ]
+
+    def summarize(self) -> list:
+        """crowdpose layout when crowdIndex bins are configured, COCO otherwise."""
+        return (self.summarize_crowdpose() if self.crowd_index_bins
+                else self.summarize_coco())

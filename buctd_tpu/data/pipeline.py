@@ -1,0 +1,158 @@
+"""Batched device-side preprocessing + a threaded loader.
+
+The reference does per-sample cv2/numpy work in 24 torch DataLoader workers
+(tools/train.py:185-199).  Here the per-sample host work (decode/augment/crop,
+joints_dataset.py) runs in a thread pool, and everything dense runs as ONE jitted
+program per batch on the TPU: imagenet normalization, condition rendering, channel
+concat, and target-Gaussian synthesis.  Conditions cross the host->device boundary as
+(B, J, 3) joints, not heatmaps — 3 orders of magnitude less transfer than the
+reference's per-sample (3, 384, 288) condition images, and flip-test can re-render
+them on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (generate_target, render_condition_colored,
+                   render_condition_plain, render_condition_stacked)
+from .joints_dataset import IMAGENET_MEAN, IMAGENET_STD
+
+META_KEYS = ("center", "scale", "rotation", "score", "annotation_id",
+             "cond_max_iou", "joints", "joints_vis", "cond_joints",
+             "cond_joints_vis", "has_cond")
+
+
+def collate(samples: list) -> dict:
+    """Stack sample dicts into fixed-shape numpy batch arrays."""
+    batch = {"image": np.stack([s["image"] for s in samples]),
+             "image_path": [s["image_path"] for s in samples]}
+    for k in META_KEYS:
+        batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+    return batch
+
+
+def condition_mode(cfg) -> str:
+    if cfg.DATASET.STACKED_CONDITION:
+        return "stacked"
+    if cfg.DATASET.COLORED:
+        return "colored"
+    return "plain"
+
+
+def num_input_channels(cfg) -> int:
+    """3 / 6 / 3+J input channels (tools/train.py:109-121)."""
+    if not cfg.MODEL.CONDITIONAL_TOPDOWN:
+        return 3
+    if cfg.DATASET.STACKED_CONDITION:
+        return 3 + int(cfg.MODEL.NUM_JOINTS)
+    return 6
+
+
+def render_condition(cond_joints, mode: str, out_hw, colors=None):
+    """Dispatch to the three condition encodings (all return (B, H, W, c))."""
+    if mode == "stacked":
+        return render_condition_stacked(cond_joints, out_hw)
+    if mode == "colored":
+        return render_condition_colored(cond_joints, colors, out_hw)
+    return render_condition_plain(cond_joints, out_hw)
+
+
+def make_input_fn(cfg, colors):
+    """Jitted: uint8/float crops + condition joints -> model input (B, H, W, C).
+
+    RGB is ToTensor+Normalize'd (imagenet stats); condition channels stay raw 0..255,
+    exactly as the reference concatenates them (JointsDataset.py:345,
+    tools/train.py:167-183).
+    """
+    img_w, img_h = int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1])
+    mode = condition_mode(cfg)
+    conditional = bool(cfg.MODEL.CONDITIONAL_TOPDOWN)
+    colors = np.asarray(colors, np.float32)
+
+    @jax.jit
+    def input_fn(images, cond_joints):
+        x = images.astype(jnp.float32) / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        if not conditional:
+            return x
+        cond = render_condition(cond_joints, mode, (img_h, img_w), colors)
+        return jnp.concatenate([x, cond], axis=-1)
+
+    return input_fn
+
+
+def make_target_fn(cfg, joints_weight=None):
+    """Jitted: crop-frame joints -> (target (B, h, w, J), weight (B, J)).
+
+    Matches generate_target incl. the USE_DIFFERENT_JOINTS_WEIGHT multiply
+    (JointsDataset.py:449-451).
+    """
+    image_size = (int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1]))
+    heatmap_size = (int(cfg.MODEL.HEATMAP_SIZE[0]), int(cfg.MODEL.HEATMAP_SIZE[1]))
+    sigma = int(cfg.MODEL.SIGMA)
+    use_jw = bool(cfg.LOSS.USE_DIFFERENT_JOINTS_WEIGHT) and joints_weight is not None
+    jw = (np.asarray(joints_weight, np.float32).reshape(1, -1)
+          if use_jw else None)
+
+    @jax.jit
+    def target_fn(joints, joints_vis):
+        tgt, w = generate_target(joints, joints_vis, image_size, heatmap_size, sigma)
+        if jw is not None:
+            w = w * jw
+        return tgt.transpose(0, 2, 3, 1), w  # NHWC for the flax models
+
+    return target_fn
+
+
+class Loader:
+    """Threaded batch loader over a JointsDataset.
+
+    Yields dicts with 'input' (B, H, W, C) ready for the model, 'target'/'target_weight'
+    (train), and host-side meta.  The final partial batch is padded by repeating the
+    last sample, with 'valid' marking real rows (fixed shapes for jit).
+    """
+
+    def __init__(self, dataset, cfg, batch_size=None, shuffle=False, num_workers=8,
+                 is_train=None, seed=0, drop_last=False):
+        self.ds = dataset
+        self.cfg = cfg
+        self.is_train = dataset.is_train if is_train is None else is_train
+        self.batch = batch_size or (cfg.TRAIN.BATCH_SIZE_PER_GPU if self.is_train
+                                    else cfg.TEST.BATCH_SIZE_PER_GPU)
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.drop_last = drop_last
+        self.input_fn = make_input_fn(cfg, dataset.kpt_colors)
+        self.target_fn = make_target_fn(cfg, getattr(dataset, "joints_weight", None))
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch if self.drop_last else -(-n // self.batch)
+
+    def __iter__(self):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order), self.batch):
+            idxs = order[i:i + self.batch]
+            if len(idxs) < self.batch:
+                if self.drop_last:
+                    return
+                idxs = np.concatenate([idxs, np.repeat(idxs[-1:],
+                                                       self.batch - len(idxs))])
+            samples = list(self.pool.map(self.ds.get_sample, idxs))
+            batch = collate(samples)
+            batch["valid"] = (np.arange(self.batch) <
+                              min(self.batch, len(order) - i)).astype(np.float32)
+            batch["input"] = self.input_fn(batch.pop("image"), batch["cond_joints"])
+            if self.is_train:
+                tgt, tw = self.target_fn(batch["joints"], batch["joints_vis"][..., 0])
+                batch["target"], batch["target_weight"] = tgt, tw
+            yield batch
