@@ -1,0 +1,216 @@
+"""Train / validate loops (reference: lib/core/function.py).
+
+TPU-native restructuring: the whole per-batch eval protocol — forward, flip-test with
+condition re-rendering, flip_back + 1-px shift + averaging, loss, PCK, decode
+(nudge/DARK) and inverse-affine unprojection — is ONE jitted program; the host only
+accumulates (N, J, 3) predictions and calls dataset.evaluate.  The reference does the
+flip/decode on CPU numpy with per-pixel loops (function.py:213-273).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import condition_mode, render_condition
+from ..geometry import flip_pairs_to_perm
+from ..ops import get_final_preds
+from .loss import make_loss
+from .metrics import pck_accuracy
+
+logger = logging.getLogger(__name__)
+
+
+class AverageMeter:
+    """Running average (function.py:360-375)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = self.avg = self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count if self.count else 0.0
+
+
+def make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh=None):
+    """One jitted eval step: (variables, batch) -> (preds, maxvals, loss, acc, cnt).
+
+    Implements the full flip-test protocol (function.py:213-236):
+      * colored condition: re-rendered on device from FLIPPED condition joints
+        (the reference round-trips to host for this, transforms.py:33-47)
+      * stacked condition: channel-swap + spatial flip of the rendered map
+      * plain condition / RGB: spatial flip
+      * model output: flip_back (W-flip + pair-swap), optional 1-px SHIFT_HEATMAP,
+        average with the unflipped output
+    """
+    J = int(cfg.MODEL.NUM_JOINTS)
+    perm = np.asarray(flip_pairs_to_perm(J, flip_pairs))
+    img_w, img_h = int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1])
+    hm_w, hm_h = int(cfg.MODEL.HEATMAP_SIZE[0]), int(cfg.MODEL.HEATMAP_SIZE[1])
+    mode = condition_mode(cfg)
+    conditional = bool(cfg.MODEL.CONDITIONAL_TOPDOWN)
+    flip_test = bool(cfg.TEST.FLIP_TEST)
+    shift = bool(cfg.TEST.SHIFT_HEATMAP)
+    post_process = bool(cfg.TEST.POST_PROCESS)
+    use_dark = bool(cfg.TEST.USE_DARK)
+    colors = np.asarray(kpt_colors, np.float32)
+    loss_fn = make_loss(cfg)
+
+    def step(variables, batch):
+        x = batch["input"]
+        out = model.apply(variables, x, train=False)          # (B, h, w, J)
+
+        if flip_test:
+            rgb_f = x[..., :3][:, :, ::-1, :]
+            if conditional:
+                if mode == "colored":
+                    # fliplr_joints returns joints * joints_vis (transforms.py:61-75):
+                    # invisible cond joints are zeroed before the flipped re-render
+                    cj = batch["cond_joints"]
+                    cv = batch["cond_joints_vis"][:, perm]
+                    cjf = cj.at[..., 0].set(img_w - cj[..., 0] - 1)[:, perm] * cv
+                    cond_f = render_condition(cjf, mode, (img_h, img_w), colors)
+                elif mode == "stacked":
+                    cond_f = x[..., 3:][:, :, ::-1, :][..., perm]
+                else:
+                    cond_f = x[..., 3:][:, :, ::-1, :]
+                xf = jnp.concatenate([rgb_f, cond_f], axis=-1)
+            else:
+                xf = rgb_f
+            out_f = model.apply(variables, xf, train=False)
+            out_f = out_f[:, :, ::-1, :][..., perm]            # flip_back, NHWC
+            if shift:
+                out_f = out_f.at[:, :, 1:, :].set(out_f[:, :, :-1, :])
+            out = (out + out_f) * 0.5
+
+        loss = loss_fn(out, batch["target"], batch["target_weight"])
+        out_jchw = out.transpose(0, 3, 1, 2)
+        acc, cnt, _ = pck_accuracy(out_jchw, batch["target"].transpose(0, 3, 1, 2))
+        preds, maxvals = get_final_preds(out_jchw, batch["center"], batch["scale"],
+                                         (hm_w, hm_h), post_process=post_process,
+                                         use_dark=use_dark)
+        return preds, maxvals, loss, acc, cnt
+
+    if mesh is None:
+        return jax.jit(step)
+    from ..parallel.mesh import data_sharding, replicated_sharding
+    repl, data = replicated_sharding(mesh), data_sharding(mesh)
+    return jax.jit(step, in_shardings=(repl, data),
+                   out_shardings=(data, data, repl, repl, repl))
+
+
+def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
+             epoch=-1, mesh=None, writer=None, print_prefix=""):
+    """Full evaluation: loop -> accumulate -> dataset.evaluate (function.py:178-336)."""
+    batch_time, losses, acc = AverageMeter(), AverageMeter(), AverageMeter()
+    step = make_validate_step(cfg, model, val_dataset.flip_pairs,
+                              val_dataset.kpt_colors, mesh=mesh)
+
+    num_samples = len(val_dataset)
+    all_preds = np.zeros((num_samples, int(cfg.MODEL.NUM_JOINTS), 3), np.float32)
+    all_boxes = np.zeros((num_samples, 7))
+    image_path = []
+    idx = 0
+    end = time.time()
+
+    for i, batch in enumerate(val_loader):
+        dev_batch = {k: batch[k] for k in
+                     ("input", "target", "target_weight", "center", "scale",
+                      "cond_joints", "cond_joints_vis")}
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            dev_batch = shard_batch(dev_batch, mesh)
+        preds, maxvals, loss, a, cnt = step(variables, dev_batch)
+        preds, maxvals = np.asarray(preds), np.asarray(maxvals)
+
+        n = int(batch["valid"].sum())
+        losses.update(float(loss), n)
+        acc.update(float(a), int(cnt))
+
+        c, s = batch["center"], batch["scale"]
+        all_preds[idx:idx + n, :, 0:2] = preds[:n, :, 0:2]
+        all_preds[idx:idx + n, :, 2:3] = maxvals[:n]
+        all_boxes[idx:idx + n, 0:2] = c[:n, 0:2]
+        all_boxes[idx:idx + n, 2:4] = s[:n, 0:2]
+        all_boxes[idx:idx + n, 4] = np.prod(s[:n] * 200, 1)
+        all_boxes[idx:idx + n, 5] = batch["score"][:n]
+        all_boxes[idx:idx + n, 6] = batch["annotation_id"][:n]
+        image_path.extend(batch["image_path"][:n])
+        idx += n
+
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if i % cfg.PRINT_FREQ == 0 or i == len(val_loader) - 1:
+            logger.info(
+                "Test: [%d/%d]\tTime %.3f (%.3f)\tLoss %.6f (%.6f)\t"
+                "Accuracy %.3f (%.3f)", i, len(val_loader) - 1, batch_time.val,
+                batch_time.avg, losses.val, losses.avg, acc.val, acc.avg)
+
+    name_values, perf = val_dataset.evaluate(
+        cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_path, epoch)
+    if writer is not None:
+        writer.add_scalar("valid_loss", losses.avg)
+        writer.add_scalar("valid_acc", acc.avg)
+        if isinstance(name_values, dict):
+            for k, v in name_values.items():
+                writer.add_scalar(f"valid_{k}", v)
+    _print_name_value(name_values, type(model).__name__)
+    return name_values, perf
+
+
+def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
+                mesh=None, writer=None):
+    """One training epoch (function.py:102-175).  Returns the new state."""
+    batch_time, data_time = AverageMeter(), AverageMeter()
+    losses, acc = AverageMeter(), AverageMeter()
+    end = time.time()
+
+    for i, batch in enumerate(train_loader):
+        data_time.update(time.time() - end)
+        dev_batch = {"input": batch["input"], "target": batch["target"],
+                     "target_weight": batch["target_weight"]}
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            dev_batch = shard_batch(dev_batch, mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, dev_batch, step_rng)
+
+        n = batch["input"].shape[0]
+        losses.update(float(metrics["loss"]), n)
+        acc.update(float(metrics["acc"]), max(int(metrics["cnt"]), 1))
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        if i % cfg.PRINT_FREQ == 0:
+            logger.info(
+                "Epoch: [%d][%d/%d]\tTime %.3fs (%.3fs)\tData %.3fs\t"
+                "Loss %.5f (%.5f)\tAccuracy %.3f (%.3f)",
+                epoch, i, len(train_loader), batch_time.val, batch_time.avg,
+                data_time.val, losses.val, losses.avg, acc.val, acc.avg)
+            if writer is not None:
+                writer.add_scalar("train_loss", losses.val)
+                writer.add_scalar("train_acc", acc.val)
+    return state, rng
+
+
+def _print_name_value(name_value, full_arch_name):
+    """Markdown AP table (function.py:340-357)."""
+    if not isinstance(name_value, dict):
+        return
+    names, values = list(name_value.keys()), list(name_value.values())
+    logger.info("| Arch " + " ".join([f"| {n}" for n in names]) + " |")
+    logger.info("|---" * (len(names) + 1) + "|")
+    if len(full_arch_name) > 15:
+        full_arch_name = full_arch_name[:8] + "..."
+    logger.info(f"| {full_arch_name} "
+                + " ".join([f"| {v:.3f}" for v in values]) + " |")

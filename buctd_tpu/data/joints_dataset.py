@@ -167,7 +167,11 @@ class JointsDataset:
         elif len(conditions) == 0:
             cond_joints = np.zeros_like(joints)
             cond_joints_vis = np.zeros_like(joints_vis)
-        elif not self.synthesis_pose:
+        elif not (self.synthesis_pose and self.is_train):
+            # NB: the reference guards this on `not synthesis_pose` alone
+            # (JointsDataset.py:186), which leaves cond_joints unbound when
+            # SYNTHESIS_POSE=True at EVAL with dict conditions (UnboundLocalError);
+            # selection must apply whenever synthesis isn't actually active
             if not self.is_train:
                 key = db_rec.get("best_model_key") or self.best_bu_model_key
                 if key not in conditions:

@@ -152,7 +152,8 @@ class Loader:
             batch["valid"] = (np.arange(self.batch) <
                               min(self.batch, len(order) - i)).astype(np.float32)
             batch["input"] = self.input_fn(batch.pop("image"), batch["cond_joints"])
-            if self.is_train:
-                tgt, tw = self.target_fn(batch["joints"], batch["joints_vis"][..., 0])
-                batch["target"], batch["target_weight"] = tgt, tw
+            # targets at train AND eval: the reference's val loop also computes
+            # loss/PCK against generated targets (core/function.py:239-248)
+            tgt, tw = self.target_fn(batch["joints"], batch["joints_vis"][..., 0])
+            batch["target"], batch["target_weight"] = tgt, tw
             yield batch

@@ -1,0 +1,77 @@
+"""Logger / metric-writer / seeding (reference: lib/utils/utils.py:84,220-255).
+
+Output layout matches the reference: {OUTPUT_DIR}/{dataset}/{model}/{cfg_name}/ with a
+timestamped log file, plus a tensorboard dir {LOG_DIR}/{dataset}/{model}/{cfg_name}_..
+Metrics also stream to metrics.jsonl (always available; tensorboardX optional).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from pathlib import Path
+
+
+def create_logger(cfg, cfg_name: str, phase: str = "train"):
+    root_output_dir = Path(cfg.OUTPUT_DIR or "output")
+    root_output_dir.mkdir(parents=True, exist_ok=True)
+
+    dataset = cfg.DATASET.DATASET
+    model = cfg.MODEL.NAME
+    cfg_name = os.path.basename(cfg_name).split(".")[0]
+
+    final_output_dir = root_output_dir / dataset / model / cfg_name
+    final_output_dir.mkdir(parents=True, exist_ok=True)
+
+    time_str = time.strftime("%Y-%m-%d-%H-%M")
+    log_file = f"{cfg_name}_{time_str}_{phase}.log"
+    head = "%(asctime)-15s %(message)s"
+    logging.basicConfig(filename=str(final_output_dir / log_file), format=head)
+    logger = logging.getLogger()
+    logger.setLevel(logging.INFO)
+    console = logging.StreamHandler()
+    logger.addHandler(console)
+
+    tb_log_dir = (Path(cfg.LOG_DIR or "log") / dataset / model
+                  / f"{cfg_name}_{time_str}")
+    tb_log_dir.mkdir(parents=True, exist_ok=True)
+    return logger, str(final_output_dir), str(tb_log_dir)
+
+
+class MetricWriter:
+    """Scalar metrics -> metrics.jsonl (+ tensorboardX if importable)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.step = 0
+        self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        try:
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            self._tb = None
+
+    def add_scalar(self, tag: str, value, step: int | None = None):
+        step = self.step if step is None else step
+        self._f.write(json.dumps({"tag": tag, "value": float(value),
+                                  "step": int(step), "ts": time.time()}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def close(self):
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def set_seed(seed: int):
+    """Seed host RNGs (utils.py:84-90); device randomness is explicit PRNG keys."""
+    import random
+
+    import numpy as np
+    random.seed(seed)
+    np.random.seed(seed)
+    return seed

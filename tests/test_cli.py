@@ -1,0 +1,77 @@
+"""CLI smoke tests: tools/train.py (2 epochs, tiny model, 8-device CPU mesh) and
+tools/test.py incl. 2x in-process iterative refinement, on the synthetic tiny COCO."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from test_data_pipeline import _tiny_coco
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_OPTS = [
+    "MODEL.IMAGE_SIZE", "[96, 128]", "MODEL.HEATMAP_SIZE", "[24, 32]",
+    "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+    "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+    "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+    "MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
+    "WORKERS", "2", "PRINT_FREQ", "1",
+]
+
+
+def _run(script, tmp_path, ann_file, extra):
+    env = dict(os.environ,
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+               + " --xla_force_host_platform_device_count=8",
+               BUCTD_FORCE_CPU="1")
+    cmd = [sys.executable, os.path.join(REPO, "tools", script),
+           "--cfg", os.path.join(REPO, "experiments/coco/hrnet/w32_384x288_adam_lr1e-3.yaml"),
+           *extra,
+           "OUTPUT_DIR", str(tmp_path / "out"), "LOG_DIR", str(tmp_path / "log"),
+           "DATASET.TRAIN_IMAGE_DIR", str(tmp_path),
+           "DATASET.TRAIN_ANNOTATION_FILE", ann_file,
+           "DATASET.TEST_IMAGE_DIR", str(tmp_path),
+           "DATASET.TEST_ANNOTATION_FILE", ann_file,
+           *TINY_OPTS]
+    return subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd=os.path.join(REPO, "tools"), timeout=900)
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path):
+    ann_file, _ = _tiny_coco(tmp_path)
+    r = _run("train.py", tmp_path, ann_file, [
+        "TRAIN.END_EPOCH", "2", "TRAIN.BATCH_SIZE_PER_GPU", "4",
+        "TEST.BATCH_SIZE_PER_GPU", "4", "EPOCH_EVAL_FREQ", "2",
+        "DATASET.SYNTHESIS_POSE", "True", "TRAIN.USE_BU_BBOX", "True",
+        "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
+        "TEST.FLIP_TEST", "True", "TEST.POST_PROCESS", "True",
+    ])
+    assert r.returncode == 0, r.stderr[-4000:]
+    out_dir = tmp_path / "out" / "coco" / "pose_hrnet" / "w32_384x288_adam_lr1e-3"
+    assert (out_dir / "final_state").exists()
+    # results json written by the epoch-end eval
+    res = list((out_dir / "results").glob("*.json"))
+    assert res, "no results json written"
+    assert json.loads(res[0].read_text())
+
+
+@pytest.mark.slow
+def test_test_cli_with_refinement(tmp_path):
+    ann_file, _ = _tiny_coco(tmp_path)
+    r = _run("test.py", tmp_path, ann_file, [
+        "TEST.BATCH_SIZE_PER_GPU", "4", "TEST.USE_BU_BBOX", "True",
+        "TEST.USE_GT_BBOX", "False", "TEST.FLIP_TEST", "True",
+        "TEST.POST_PROCESS", "True", "TEST.REFINE_ITERS", "2",
+        "DATASET.SYNTHESIS_POSE", "False",
+    ])
+    assert r.returncode == 0, r.stderr[-4000:]
+    out_dir = tmp_path / "out" / "coco" / "pose_hrnet" / "w32_384x288_adam_lr1e-3"
+    res0 = out_dir / "results" / "keypoints_test_results_epoch0.json"
+    res1 = out_dir / "results" / "keypoints_test_results_epoch1.json"
+    assert res0.exists() and res1.exists(), r.stderr[-2000:]
+    assert "refinement round 1" in r.stderr + r.stdout

@@ -1,0 +1,22 @@
+"""Make buctd_tpu importable when tools/ scripts run from anywhere
+(reference: tools/_init_paths.py adds ../lib; here the package lives at repo root)."""
+
+import os
+import os.path as osp
+import sys
+
+
+def add_path(path):
+    if path not in sys.path:
+        sys.path.insert(0, path)
+
+
+this_dir = osp.dirname(__file__)
+add_path(osp.join(this_dir, ".."))
+
+if os.environ.get("BUCTD_FORCE_CPU"):
+    # the sitecustomize on this machine overrides JAX_PLATFORMS at interpreter start,
+    # so tests force CPU through jax.config instead (see tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,130 @@
+"""Training CLI (reference: tools/train.py).
+
+Same surface: ``python tools/train.py --cfg <yaml> [KEY VALUE ...]``.
+TPU-native internals: jax mesh data parallelism instead of nn.DataParallel, one jitted
+train step, orbax checkpoints, device-side batch preprocessing.
+"""
+
+import argparse
+import os
+import pprint
+
+import _init_paths  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from buctd_tpu.config import default_config, update_config
+from buctd_tpu.core.function import train_epoch, validate
+from buctd_tpu.data import Loader, get_dataset, num_input_channels
+from buctd_tpu.models import converter_options, get_model
+from buctd_tpu.parallel import make_mesh, replicate
+from buctd_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from buctd_tpu.train.state import create_train_state, make_train_step
+from buctd_tpu.utils import MetricWriter, create_logger, get_model_summary, set_seed
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train keypoints network")
+    parser.add_argument("--cfg", required=True, type=str)
+    parser.add_argument("--modelDir", type=str, default="")
+    parser.add_argument("--logDir", type=str, default="")
+    parser.add_argument("--dataDir", type=str, default="")
+    parser.add_argument("--prevModelDir", type=str, default="")
+    parser.add_argument("--seed", type=int, default=22)
+    parser.add_argument("opts", nargs=argparse.REMAINDER,
+                        help="Modify config options using the command-line")
+    return parser.parse_args()
+
+
+def load_warm_start(cfg, model, variables):
+    """Warm start from TEST.MODEL_FILE (tools/train.py:126-145): orbax dir or
+    torch .pth via the converter."""
+    path = cfg.TEST.MODEL_FILE
+    if not path:
+        return variables
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from buctd_tpu.convert import load_torch_checkpoint, torch_to_flax
+        sd = load_torch_checkpoint(path)
+        return torch_to_flax(sd, variables, **converter_options(cfg.MODEL.NAME))
+    from buctd_tpu.train.checkpoint import load_params
+    return load_params(path, template=variables)
+
+
+def main():
+    args = parse_args()
+    cfg = default_config()
+    update_config(cfg, args)
+    set_seed(args.seed)
+
+    logger, final_output_dir, tb_log_dir = create_logger(cfg, args.cfg, "train")
+    logger.info(pprint.pformat(cfg))
+    writer = MetricWriter(tb_log_dir)
+
+    mesh = make_mesh(cfg)
+    logger.info("=> mesh: %s over %d devices", mesh.axis_names, mesh.size)
+
+    model = get_model(cfg, is_train=True)
+    C = num_input_channels(cfg)
+    img_w, img_h = cfg.MODEL.IMAGE_SIZE
+    sample = jnp.zeros((1, img_h, img_w, C))
+
+    rng = jax.random.PRNGKey(args.seed)
+    init_rng, train_rng = jax.random.split(rng)
+    variables = jax.jit(lambda k: model.init(k, sample, train=False))(init_rng)
+    logger.info(get_model_summary(model, variables, (1, img_h, img_w, C)))
+    variables = load_warm_start(cfg, model, variables)
+
+    train_dataset = get_dataset(cfg, is_train=True)
+    valid_dataset = get_dataset(cfg, is_train=False)
+    # global batch = per-chip batch x mesh size (the reference's DataParallel
+    # semantics: BATCH_SIZE_PER_GPU * len(GPUS), tools/train.py:187)
+    train_loader = Loader(train_dataset, cfg,
+                          batch_size=cfg.TRAIN.BATCH_SIZE_PER_GPU * mesh.size,
+                          shuffle=cfg.TRAIN.SHUFFLE, num_workers=cfg.WORKERS)
+    valid_loader = Loader(valid_dataset, cfg,
+                          batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * mesh.size,
+                          num_workers=cfg.WORKERS)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    state = create_train_state(cfg, model, init_rng, sample,
+                               steps_per_epoch=steps_per_epoch,
+                               variables=variables)
+    begin_epoch = cfg.TRAIN.BEGIN_EPOCH
+    best_perf, best_model = 0.0, False
+
+    if cfg.AUTO_RESUME:
+        state, found = restore_checkpoint(state, final_output_dir)
+        if found:
+            begin_epoch = int(state.step) // steps_per_epoch
+            logger.info("=> auto-resumed at epoch %d", begin_epoch)
+
+    state = replicate(state, mesh)
+    train_step = make_train_step(cfg, model, mesh)
+
+    for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
+        state, train_rng = train_epoch(cfg, train_loader, model, state, train_step,
+                                       epoch, train_rng, mesh=mesh, writer=writer)
+
+        perf = 0.0
+        if (epoch + 1) % cfg.EPOCH_EVAL_FREQ == 0 or epoch == cfg.TRAIN.END_EPOCH - 1:
+            eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+            _, perf = validate(cfg, valid_loader, valid_dataset, model, eval_vars,
+                               final_output_dir, epoch=epoch, mesh=mesh,
+                               writer=writer)
+        best_model = perf > best_perf
+        best_perf = max(perf, best_perf)
+
+        logger.info("=> saving checkpoint to %s", final_output_dir)
+        save_checkpoint(state, final_output_dir, is_best=best_model, perf=perf)
+        if (epoch + 1) % 20 == 0:
+            save_checkpoint(state, final_output_dir, name=f"checkpoint_ep{epoch}",
+                            perf=perf)
+
+    save_checkpoint(state, final_output_dir, name="final_state", perf=best_perf)
+    logger.info("=> done; best perf %.4f", best_perf)
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
