@@ -99,14 +99,14 @@ def make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh=None):
         preds, maxvals = get_final_preds(out_jchw, batch["center"], batch["scale"],
                                          (hm_w, hm_h), post_process=post_process,
                                          use_dark=use_dark)
-        return preds, maxvals, loss, acc, cnt
+        return preds, maxvals, loss, acc, cnt, out
 
     if mesh is None:
         return jax.jit(step)
     from ..parallel.mesh import data_sharding, replicated_sharding
     repl, data = replicated_sharding(mesh), data_sharding(mesh)
     return jax.jit(step, in_shardings=(repl, data),
-                   out_shardings=(data, data, repl, repl, repl))
+                   out_shardings=(data, data, repl, repl, repl, data))
 
 
 def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
@@ -130,7 +130,7 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
         if mesh is not None:
             from ..parallel.mesh import shard_batch
             dev_batch = shard_batch(dev_batch, mesh)
-        preds, maxvals, loss, a, cnt = step(variables, dev_batch)
+        preds, maxvals, loss, a, cnt, out_hm = step(variables, dev_batch)
         preds, maxvals = np.asarray(preds), np.asarray(maxvals)
 
         n = int(batch["valid"].sum())
@@ -155,6 +155,19 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
                 "Test: [%d/%d]\tTime %.3f (%.3f)\tLoss %.6f (%.6f)\t"
                 "Accuracy %.3f (%.3f)", i, len(val_loader) - 1, batch_time.val,
                 batch_time.avg, losses.val, losses.avg, acc.val, acc.avg)
+            if cfg.DEBUG.DEBUG:
+                import os as _os
+
+                from ..ops import get_max_preds
+                from ..utils.vis import save_debug_images
+                hm = np.asarray(out_hm)
+                hm_pred, _ = get_max_preds(hm.transpose(0, 3, 1, 2))
+                stride = cfg.MODEL.IMAGE_SIZE[0] / cfg.MODEL.HEATMAP_SIZE[0]
+                prefix = _os.path.join(output_dir,
+                                       f"val_epoch_{epoch:09d}_iter_{i}{print_prefix}")
+                save_debug_images(cfg, batch["input"], batch,
+                                  np.asarray(batch["target"]),
+                                  np.asarray(hm_pred) * stride, hm, prefix)
 
     name_values, perf = val_dataset.evaluate(
         cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_path, epoch)

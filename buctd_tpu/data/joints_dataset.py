@@ -47,9 +47,14 @@ def rainbow_colors(num: int) -> np.ndarray:
     return np.array(out[:num], np.float64)
 
 
-def imread_rgb(path: str, color_rgb: bool = True) -> np.ndarray:
+def imread_rgb(path: str, color_rgb: bool = True, data_format: str = "jpg") -> np.ndarray:
     import cv2
-    img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+    flags = cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
+    if data_format == "zip":
+        from ..utils import zipreader
+        img = zipreader.imread(path, flags)
+    else:
+        img = cv2.imread(path, flags)
     if img is None:
         raise ValueError(f"Fail to read {path}")
     if color_rgb:
@@ -215,7 +220,7 @@ class JointsDataset:
         db_rec = copy.deepcopy(self.db[idx])
         image_file = db_rec["image"]
         if data_numpy is None:
-            data_numpy = imread_rgb(image_file, self.color_rgb)
+            data_numpy = imread_rgb(image_file, self.color_rgb, self.data_format)
 
         joints = np.asarray(db_rec["joints_3d"], np.float64).copy()
         joints_vis = np.asarray(db_rec["joints_3d_vis"], np.float64).copy()

@@ -1,0 +1,110 @@
+"""Tests: binned analysis, condition matcher, zipreader, debug vis dumps."""
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from test_data_pipeline import _tiny_coco
+
+
+def _perfect_results(gt, conf=0.9):
+    out = []
+    for ann in gt["annotations"]:
+        kp = np.array(ann["keypoints"], np.float64).reshape(-1, 3)
+        kp[:, 2] = conf
+        out.append({"image_id": ann["image_id"], "category_id": 1,
+                    "keypoints": [float(v) for v in kp.ravel()],
+                    "score": conf, "annotation_id": ann["id"]})
+    return out
+
+
+def test_bin_evaluate_perfect_predictions(tmp_path):
+    ann_file, gt = _tiny_coco(tmp_path)
+    from buctd_tpu.analysis import bin_evaluate, coco_evaluation
+    from buctd_tpu.data import COCOIndex
+
+    dts = _perfect_results(gt)
+    coco_gt = COCOIndex(ann_file)
+    # every instance has 17 kpts and overlaps nobody (two far-apart people)
+    info = bin_evaluate(coco_gt, dts, overlap_group=[0], num_kpt_group=[16, 17])
+    assert info["num_instances"] == 4
+    assert info["AP"] == pytest.approx(1.0)
+    # empty bin
+    info2 = bin_evaluate(coco_gt, dts, overlap_group=[3, 4], num_kpt_group=[16, 17])
+    assert info2["num_instances"] == 0
+
+    stats = coco_evaluation(ann_file, dts)
+    assert stats["AP"][0, 3] == pytest.approx(1.0)
+    assert stats["num_instances"].sum() == 4
+
+
+def test_sort_instance_ap_ranks_bad_first(tmp_path):
+    ann_file, gt = _tiny_coco(tmp_path)
+    from buctd_tpu.analysis import sort_instance_ap
+    from buctd_tpu.data import COCOIndex
+
+    dts = _perfect_results(gt)
+    dts[0]["keypoints"] = [v + (80 if i % 3 == 0 else 0)
+                           for i, v in enumerate(dts[0]["keypoints"])]
+    ranked = sort_instance_ap(COCOIndex(ann_file), dts)
+    assert len(ranked) == 4
+    assert ranked[0][1] == dts[0]["annotation_id"]  # corrupted one is worst
+    assert ranked[0][0] < ranked[-1][0]
+
+
+def test_match_coco_cond(tmp_path):
+    ann_file, gt = _tiny_coco(tmp_path, cond=False)
+    import sys
+    sys.path.insert(0, "/root/repo/data_preprocessing")
+    from match_coco_cond import match_conditions
+
+    preds = _perfect_results(gt)
+    n = match_conditions(gt, preds, "bu_model_1")
+    assert n == 4
+    for ann in gt["annotations"]:
+        assert "bu_model_1" in ann["cond_kpts"]
+        got = np.array(ann["cond_kpts"]["bu_model_1"]).reshape(-1, 3)
+        want = np.array(ann["keypoints"]).reshape(-1, 3)
+        np.testing.assert_allclose(got[:, :2], want[:, :2])
+
+
+def test_zipreader(tmp_path):
+    import cv2
+    img = np.random.RandomState(0).randint(0, 255, (32, 48, 3), np.uint8)
+    png = tmp_path / "x.png"
+    cv2.imwrite(str(png), img)
+    zpath = tmp_path / "arch.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(png, "sub/x.png")
+    from buctd_tpu.utils import zipreader
+    got = zipreader.imread(f"{zpath}@/sub/x.png")
+    np.testing.assert_array_equal(got, img)
+
+
+def test_save_debug_images(tmp_path):
+    from buctd_tpu.utils.vis import save_debug_images
+
+    class Flags:
+        DEBUG = True
+        SAVE_BATCH_IMAGES_GT = True
+        SAVE_BATCH_IMAGES_PRED = True
+        SAVE_HEATMAPS_GT = True
+        SAVE_HEATMAPS_PRED = True
+
+    class Cfg:
+        DEBUG = Flags()
+
+    B, H, W, J, h, w = 2, 64, 48, 17, 16, 12
+    rng = np.random.RandomState(0)
+    inp = rng.randn(B, H, W, 6).astype(np.float32)
+    meta = {"joints": rng.rand(B, J, 3) * 40,
+            "joints_vis": np.ones((B, J, 3))}
+    target = rng.rand(B, h, w, J).astype(np.float32)
+    pred = rng.rand(B, J, 2) * 40
+    save_debug_images(Cfg(), inp, meta, target, pred, target,
+                      str(tmp_path / "dbg"))
+    for suffix in ("_gt.jpg", "_pred.jpg", "_hm_gt.jpg", "_hm_pred.jpg"):
+        assert (tmp_path / f"dbg{suffix}").exists()
