@@ -107,3 +107,41 @@ def test_oks_merge():
     # (400,400) pose is OKS-disjoint from db1 -> appended; (50,50) overlaps -> dropped
     assert len(merged) == 2
     assert merged[0] is db1[0]
+
+
+# ---------------------------------------------------------------------------
+# native C++ library vs numpy reference
+# ---------------------------------------------------------------------------
+
+def _random_dets(n, seed):
+    rng = np.random.RandomState(seed)
+    x1 = rng.uniform(0, 200, n)
+    y1 = rng.uniform(0, 200, n)
+    return np.stack([x1, y1, x1 + rng.uniform(5, 120, n),
+                     y1 + rng.uniform(5, 120, n), rng.rand(n)], 1).astype(np.float32)
+
+
+def test_native_cpu_nms_matches_numpy():
+    from buctd_tpu.ops import nms as npnms
+    from buctd_tpu.ops import native
+    assert native.native_available(), "native library failed to build"
+    for seed in range(5):
+        dets = _random_dets(60, seed)
+        for thresh in (0.3, 0.5, 0.7):
+            assert native.cpu_nms(dets, thresh) == npnms.nms(dets, thresh)
+
+
+def test_native_gpu_nms_semantics():
+    """The mask kernel suppresses on ovr > thresh (CUDA semantics) and returns
+    original indices in score order."""
+    from buctd_tpu.ops import native
+    if not native.native_available():
+        import pytest
+        pytest.skip("no native lib")
+    dets = np.array([[0, 0, 10, 10, 0.9],
+                     [1, 1, 11, 11, 0.8],     # high overlap with 0 -> suppressed
+                     [100, 100, 110, 110, 0.7]], np.float32)
+    assert native.gpu_nms(dets, 0.3) == [0, 2]
+    # duplicate boxes with ovr exactly 1.0 > thresh
+    keep = native.gpu_nms(np.repeat(dets[:1], 3, 0), 0.99)
+    assert len(keep) == 1
