@@ -18,8 +18,9 @@ import types
 
 import numpy as np
 
-B = 32          # crops per step
-STEPS = 20      # timed steps
+B = 128         # crops per step (serving batch; fwd is ~2x more efficient per crop
+                # at 128 than 32 — MXU fill on the W48 branches)
+STEPS = 15      # timed steps
 SRC_HW = 512    # synthetic source image side
 N_TORCH = 3     # baseline crops to time (single measurement, extrapolated)
 
