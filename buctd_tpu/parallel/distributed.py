@@ -1,0 +1,48 @@
+"""Multi-host (pod-slice) initialization.
+
+The reference is single-node DataParallel only (SURVEY.md §2.8).  Here multi-host is
+the same data-parallel mesh code path: ``jax.distributed.initialize`` connects the
+hosts over DCN, ``jax.devices()`` then spans the whole slice, and ``make_mesh``
+lays the global batch over ICI+DCN.  Loaders shard the sample index space per
+process (``process_shard``) so each host reads only its slice of the db.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Initialize multi-host JAX when launched on a pod slice.
+
+    No-ops (returns False) in single-process runs: on Cloud TPU the arguments are
+    auto-detected from the metadata server, elsewhere from the JAX_* env vars.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized
+    env_says_multi = (coordinator_address
+                      or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                      or os.environ.get("COORDINATOR_ADDRESS"))
+    if not env_says_multi and num_processes is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    logger.info("=> jax.distributed initialized: process %d/%d, %d local / %d "
+                "global devices", jax.process_index(), jax.process_count(),
+                jax.local_device_count(), jax.device_count())
+    return True
+
+
+def process_shard(n: int) -> slice:
+    """This host's contiguous shard of a length-n sample index space."""
+    p, k = jax.process_index(), jax.process_count()
+    per = -(-n // k)
+    return slice(p * per, min((p + 1) * per, n))

@@ -117,6 +117,44 @@ def make_train_step(cfg, model, mesh=None):
     )
 
 
+def make_train_step_double(cfg, model, mesh=None):
+    """λ-weighted double-target train step — the legacy cutmix/mixup loops'
+    loss semantics (lib/core/train.py:179-343, MIPNet heritage, not reachable from
+    the reference's CLI): loss = crit(out, target_f, w_f·λ_f) + crit(out, target_b,
+    w_b·λ_b) where (f, b) are the foreground/background person targets.
+
+    batch keys: input, target_f, target_b, target_weight_f, target_weight_b,
+    lambda_f, lambda_b (B,).
+    """
+    loss_fn = make_loss(cfg)
+
+    def step_fn(state: TrainState, batch, dropout_rng):
+        def compute_loss(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["input"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            w_f = batch["target_weight_f"] * batch["lambda_f"][:, None]
+            w_b = batch["target_weight_b"] * batch["lambda_b"][:, None]
+            loss = (loss_fn(out, batch["target_f"], w_f)
+                    + loss_fn(out, batch["target_b"], w_b))
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        acc, cnt, _ = pck_accuracy(out.transpose(0, 3, 1, 2),
+                                   batch["target_f"].transpose(0, 3, 1, 2))
+        return new_state, {"loss": loss, "acc": acc, "cnt": cnt}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = replicated_sharding(mesh)
+    data = data_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl), donate_argnums=0)
+
+
 def make_eval_step(cfg, model, mesh=None):
     """Forward-only step returning NHWC heatmaps."""
 

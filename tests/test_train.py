@@ -150,3 +150,68 @@ def test_checkpoint_roundtrip(tmp_path):
     # missing dir -> found False
     _, found2 = restore_checkpoint(fresh, str(tmp_path / "nope"))
     assert not found2
+
+
+def test_lambda_and_expectation_losses():
+    from buctd_tpu.core.loss import joints_lambda_mse_loss, joints_expectation_loss
+    B, h, w, J = 3, 8, 6, 17
+    rng = np.random.RandomState(0)
+    pred = rng.rand(B, h, w, J).astype(np.float32)
+    tgt = rng.rand(B, h, w, J).astype(np.float32)
+    wgt = np.ones((B, J), np.float32)
+    per_sample = np.asarray(joints_lambda_mse_loss(jnp.array(pred), jnp.array(tgt), jnp.array(wgt)))
+    assert per_sample.shape == (B,)
+    # mean of the per-sample form == the scalar loss
+    from buctd_tpu.core.loss import joints_mse_loss
+    np.testing.assert_allclose(per_sample.mean(),
+                               float(joints_mse_loss(jnp.array(pred), jnp.array(tgt), jnp.array(wgt))),
+                               rtol=1e-6)
+    gt_joints = rng.rand(B, J, 2).astype(np.float32) * [5, 7]
+    le = float(joints_expectation_loss(jnp.array(pred), jnp.array(gt_joints), jnp.array(wgt)))
+    assert np.isfinite(le) and le > 0
+
+
+def test_gaussian_smoothing_matches_scipy_like():
+    from buctd_tpu.utils.gaussian import GaussianSmoothing, gaussian_kernel1d
+    import numpy as np
+    sm = GaussianSmoothing(channels=2, kernel_size=11, sigma=6)
+    x = np.zeros((1, 21, 21, 2), np.float32)
+    x[0, 10, 10, :] = 1.0
+    out = np.asarray(sm(jnp.array(x)))
+    k = gaussian_kernel1d(11, 6)
+    want = np.outer(k, k)
+    np.testing.assert_allclose(out[0, 5:16, 5:16, 0], want, atol=1e-6)
+
+
+def test_double_target_train_step():
+    from buctd_tpu.models import get_model
+    from buctd_tpu.train.state import create_train_state, make_train_step_double
+    cfg = _small_cfg([
+        "MODEL.IMAGE_SIZE", "[64, 64]", "MODEL.HEATMAP_SIZE", "[16, 16]",
+        "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+    ])
+    model = get_model(cfg)
+    B = 2
+    rng = np.random.RandomState(0)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+    batch = {
+        "input": rng.rand(B, 64, 64, 3).astype(np.float32),
+        "target_f": rng.rand(B, 16, 16, 17).astype(np.float32),
+        "target_b": rng.rand(B, 16, 16, 17).astype(np.float32),
+        "target_weight_f": np.ones((B, 17), np.float32),
+        "target_weight_b": np.ones((B, 17), np.float32),
+        "lambda_f": np.full((B,), 0.7, np.float32),
+        "lambda_b": np.full((B,), 0.3, np.float32),
+    }
+    step = make_train_step_double(cfg, model)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 1 and np.isfinite(float(metrics["loss"]))
+
+
+def test_process_shard_single_host():
+    from buctd_tpu.parallel import initialize_distributed, process_shard
+    assert initialize_distributed() is False  # single-process: no-op
+    assert process_shard(10) == slice(0, 10)
