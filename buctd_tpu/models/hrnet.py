@@ -336,16 +336,26 @@ class PoseHRNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, film=None, return_features=False):
+        """film=(mu, sigma) (B, C) enables the MIPNet-heritage λ-conditioned FiLM
+        modulation of the final features (forward_lamda, pose_hrnet.py:497-540);
+        return_features returns the pre-head trunk features (forward_feature,
+        :542-576)."""
         if self.spec.use_pre_net:
             assert x.shape[-1] >= 6, "preNet requires RGB + 3-channel condition input"
             x = PreNet(name="_prenet", dtype=self.dtype)(
                 x[..., :3], x[..., 3:6], train=train)
         ys = HRNetTrunk(spec=self.spec, name="_trunk", dtype=self.dtype)(x, train=train)
+        feats = ys[0]
+        if return_features:
+            return feats
+        if film is not None:
+            mu, sigma = film  # out = mu + y * sigma (pose_hrnet.py:531-537)
+            feats = mu[:, None, None, :] + feats * sigma[:, None, None, :]
         k = self.spec.final_conv_kernel
         out = nn.Conv(self.spec.num_joints, (k, k), padding=((k // 2, k // 2),) * 2,
                       use_bias=True, kernel_init=KERNEL_INIT, name="final_layer",
-                      dtype=self.dtype)(ys[0])
+                      dtype=self.dtype)(feats)
         return out
 
 

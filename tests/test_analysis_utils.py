@@ -108,3 +108,21 @@ def test_save_debug_images(tmp_path):
                       str(tmp_path / "dbg"))
     for suffix in ("_gt.jpg", "_pred.jpg", "_hm_gt.jpg", "_hm_pred.jpg"):
         assert (tmp_path / f"dbg{suffix}").exists()
+
+
+def test_vis_coco_keypoints():
+    from buctd_tpu.utils.vis_coco import coco_vis_keypoints, COCO_KP_CONNECTIONS
+    assert len(COCO_KP_CONNECTIONS) == 15
+    img = np.zeros((64, 64, 3), np.uint8)
+    kps = np.stack([np.random.RandomState(0).uniform(5, 60, 17),
+                    np.random.RandomState(1).uniform(5, 60, 17),
+                    np.full(17, 2.0)], 1)
+    out = coco_vis_keypoints(img, kps)
+    assert out.shape == img.shape and out.sum() > 0
+
+
+def test_model_extras_defaults():
+    from buctd_tpu.config.models import MODEL_EXTRAS
+    assert MODEL_EXTRAS["pose_resnet"].NUM_DECONV_LAYERS == 3
+    assert MODEL_EXTRAS["pose_hrnet"].STAGE4.NUM_CHANNELS == [32, 64, 128, 256]
+    assert MODEL_EXTRAS["pose_hrnet_w48"].STAGE4.NUM_CHANNELS == [48, 96, 192, 384]

@@ -176,3 +176,40 @@ def test_pose_hrnet_prenet_parity():
     flax_model = get_pose_net(cfg)
     x = np.random.RandomState(1).randn(2, 6, 64, 64).astype(np.float32)
     _compare(torch_model, flax_model, x)
+
+
+def test_forward_lamda_and_feature_parity():
+    """forward_lamda (FiLM modulation, pose_hrnet.py:497-540) and forward_feature
+    (:542-576) vs our film=/return_features= call-time options."""
+    import jax
+    import numpy as np
+
+    cfg = _cfg()
+    import models.pose_hrnet as ref_hrnet
+    from buctd_tpu.models.hrnet import get_pose_net
+    from buctd_tpu.convert import torch_to_flax
+
+    torch_model = ref_hrnet.get_pose_net(cfg, is_train=False)
+    torch_model.eval()
+    flax_model = get_pose_net(cfg)
+    x = np.random.RandomState(4).randn(2, 3, 128, 96).astype(np.float32)
+    C = 32  # width of the finest stage-4 branch
+    mu = np.random.RandomState(5).randn(2, C).astype(np.float32)
+    sigma = np.random.RandomState(6).randn(2, C).astype(np.float32)
+
+    with torch.no_grad():
+        want_lam = torch_model.forward_lamda(
+            torch.from_numpy(x), torch.from_numpy(mu), torch.from_numpy(sigma)).numpy()
+        want_feat = torch_model.forward_feature(torch.from_numpy(x)).numpy()
+
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    template = flax_model.init(jax.random.PRNGKey(0), x_nhwc, train=False)
+    variables = torch_to_flax(torch_model.state_dict(), template)
+    got_lam = np.transpose(np.asarray(flax_model.apply(
+        variables, x_nhwc, train=False, film=(mu, sigma))), (0, 3, 1, 2))
+    got_feat = np.transpose(np.asarray(flax_model.apply(
+        variables, x_nhwc, train=False, return_features=True)), (0, 3, 1, 2))
+
+    for got, want in ((got_lam, want_lam), (got_feat, want_feat)):
+        scale = np.abs(want).max() + 1e-12
+        assert np.abs(got - want).max() / scale < 2e-3
