@@ -1,4 +1,5 @@
-from .warp import warp_affine, crop_images
+from .warp import (warp_affine, warp_affine_aligned, warp_affine_rotated,
+                   warp_affine_shear, crop_images, resize_bilinear)
 from .heatmap import (
     gaussian_blur2d,
     generate_target,
@@ -10,6 +11,10 @@ from .decode import get_max_preds, get_final_preds, dark_blur
 
 __all__ = [
     "warp_affine",
+    "warp_affine_aligned",
+    "warp_affine_rotated",
+    "warp_affine_shear",
+    "resize_bilinear",
     "crop_images",
     "gaussian_blur2d",
     "generate_target",

@@ -92,6 +92,143 @@ def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     return left * (1.0 - wx)[:, None] + right * wx[:, None]
 
 
+def _resample_axis1(img, u):
+    """Bilinear 1-D resample along axis 1 (x).  img (H, W, C), u (H, ow) source
+    x-coords per (row, out-col).  Out-of-range taps contribute 0."""
+    W = img.shape[1]
+    u0 = jnp.floor(u)
+    f = (u - u0)[..., None]
+    u0i = u0.astype(jnp.int32)
+
+    def tap(xi):
+        valid = (xi >= 0) & (xi < W)
+        v = jnp.take_along_axis(img, jnp.clip(xi, 0, W - 1)[..., None], axis=1)
+        return jnp.where(valid[..., None], v, 0.0)
+
+    return tap(u0i) * (1.0 - f) + tap(u0i + 1) * f
+
+
+def _warp_two_pass(img, t, out_hw):
+    """Catmull-Smith 2-pass affine warp for one image.
+
+    img (H, W, C); t (2, 3) output->source affine with |t[1,1]| bounded away from 0
+    (callers pre-transpose so the residual rotation is < 45 deg).
+    Pass 1 resamples x per SOURCE row:  I1[Y, ox] = img[Y, (a - bc/d)ox + (b/d)(Y - f) + e]
+    Pass 2 resamples y per output col:  out[oy, ox] = I1[d*oy + c*ox + f, ox]
+    Both are single-axis gathers (take_along_axis) — the 2-D gather form is
+    catastrophically slow on TPU.  NB two-pass bilinear filters over a sheared
+    (parallelogram) footprint, so rotated outputs differ from cv2's square-footprint
+    bilinear by a small amount off-lattice.
+    """
+    H, W, C = img.shape
+    oh, ow = out_hw
+    a, b, e = t[0, 0], t[0, 1], t[0, 2]
+    c, d, f = t[1, 0], t[1, 1], t[1, 2]
+
+    ox = jax.lax.broadcasted_iota(jnp.float32, (1, ow), 1)
+    Y = jax.lax.broadcasted_iota(jnp.float32, (H, 1), 0)
+    u = (a - b * c / d) * ox + (b / d) * (Y - f) + e        # (H, ow)
+    i1 = _resample_axis1(img, u)                            # (H, ow, C)
+
+    oy = jax.lax.broadcasted_iota(jnp.float32, (oh, 1), 0)
+    v = d * oy + c * ox + f                                 # (oh, ow)
+    i1t = i1.transpose(1, 0, 2)                             # (ow, H, C)
+    out = _resample_axis1(i1t, v.T)                         # (ow, oh, C)
+    return out.transpose(1, 0, 2)
+
+
+def warp_affine_shear(images: jnp.ndarray, trans_dst2src: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """General batched affine warp via two single-axis resampling passes.
+
+    Handles arbitrary rotation: when the transform is closer to vertical
+    (|d| < |c|, rotation beyond +-45 deg) the source is pre-transposed and the
+    affine re-derived, keeping pass 1 well-conditioned.  Matches cv2 INTER_LINEAR +
+    BORDER_CONSTANT(0) like warp_affine, without its TPU-hostile 2-D gather.
+
+    NB axis gathers are still slow on TPU (~0.5 s for a batch-32 512^2 warp);
+    prefer ``warp_affine_rotated`` (banded-matmul engine, ~13 ms) on device.
+    """
+    B, H, W, C = images.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    t = trans_dst2src.astype(jnp.float32)
+
+    def one(img, ti):
+        # transposed-source variant: src coords (x, y) -> (y, x)
+        ti_t = jnp.stack([ti[1], ti[0]])
+        use_t = jnp.abs(ti[1, 1]) < jnp.abs(ti[0, 1])
+
+        # guard the divide in the untaken branch
+        def run(im, tt):
+            tt = tt.at[1, 1].set(jnp.where(jnp.abs(tt[1, 1]) < 1e-6,
+                                           1e-6, tt[1, 1]))
+            return _warp_two_pass(im, tt, (oh, ow))
+
+        out_n = run(img, ti)
+        out_t = run(img.transpose(1, 0, 2), ti_t)
+        return jnp.where(use_t, out_t, out_n)
+
+    return jax.vmap(one)(images.astype(jnp.float32), t)
+
+
+def _warp_two_pass_mm(img, t, out_hw):
+    """Two-pass warp with BANDED-MATMUL resampling — zero gathers, pure MXU.
+
+    Same Catmull-Smith decomposition as ``_warp_two_pass`` but each 1-D resample is
+    a contraction against an on-the-fly 2-tap banded weight tensor:
+      pass 1: I1[Y, ox]  = sum_w img[Y, w] * relu(1 - |u(Y, ox) - w|)
+      pass 2: out[oy,ox] = sum_Y I1[Y, ox] * relu(1 - |v(oy, ox) - Y|)
+    The (H, W, ow)/(H, oh, ow) weight tensors are materialized per sample (a few
+    hundred MB of HBM traffic) — 40x faster than gather forms on TPU (13 ms vs
+    520 ms vs >4.5 s for a batch-32 512^2 -> 384x288 rotated warp on v5e).
+    """
+    H, W, C = img.shape
+    oh, ow = out_hw
+    a, b, e = t[0, 0], t[0, 1], t[0, 2]
+    c, d, f = t[1, 0], t[1, 1], t[1, 2]
+
+    ox = jnp.arange(ow, dtype=jnp.float32)
+    Y = jnp.arange(H, dtype=jnp.float32)
+    u = (a - b * c / d) * ox[None, :] + (b / d) * (Y[:, None] - f) + e
+    kw = jnp.arange(W, dtype=jnp.float32)
+    w1 = jax.nn.relu(1.0 - jnp.abs(u[:, None, :] - kw[None, :, None]))
+    i1 = jnp.einsum("ywc,ywo->yoc", img, w1)
+
+    oy = jnp.arange(oh, dtype=jnp.float32)
+    v = d * oy[:, None] + c * ox[None, :] + f
+    w2 = jax.nn.relu(1.0 - jnp.abs(v[None, :, :] - Y[:, None, None]))
+    return jnp.einsum("yoc,yso->soc", i1, w2)
+
+
+def warp_affine_rotated(images: jnp.ndarray, trans_dst2src: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """General batched affine warp (any rotation) — the TPU device path.
+
+    lax.map over the batch (bounds the per-sample weight-tensor HBM footprint) with
+    a per-sample lax.cond picking the transposed decomposition when the transform
+    is closer to vertical; each sample runs the banded-matmul engine.
+    Rotated outputs differ slightly from cv2 (parallelogram vs square bilinear
+    footprint); rot == 0 / +-90 deg are exact.
+    """
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    t = trans_dst2src.astype(jnp.float32)
+
+    def one(args):
+        img, ti = args
+        img = img.astype(jnp.float32)
+        use_t = jnp.abs(ti[1, 1]) < jnp.abs(ti[0, 1])
+
+        def guarded(tt):
+            return tt.at[1, 1].set(jnp.where(jnp.abs(tt[1, 1]) < 1e-6,
+                                             1e-6, tt[1, 1]))
+
+        return jax.lax.cond(
+            use_t,
+            lambda: _warp_two_pass_mm(img.transpose(1, 0, 2),
+                                      guarded(jnp.stack([ti[1], ti[0]])), (oh, ow)),
+            lambda: _warp_two_pass_mm(img, guarded(ti), (oh, ow)))
+
+    return jax.lax.map(one, (images, t))
+
+
 def _axis_taps(coord, in_size):
     """Bilinear tap-weight matrix (..., out, in): relu(1 - |src - idx|).
 
@@ -143,4 +280,4 @@ def crop_images(images, centers, scales, rots, out_size) -> jnp.ndarray:
                                     out_size, inv=True)
         return warp_affine_aligned(images, trans_inv, (int(out_size[1]), int(out_size[0])))
     trans_inv = make_affine_jax(centers, scales, rots, out_size, inv=True)
-    return warp_affine(images, trans_inv, (int(out_size[1]), int(out_size[0])))
+    return warp_affine_rotated(images, trans_inv, (int(out_size[1]), int(out_size[0])))

@@ -272,3 +272,36 @@ def test_get_final_preds_end_to_end():
         want = transform_preds(np.concatenate([coords[b], np.zeros((J, 1))], 1),
                                center[b], scale[b], (w, h))[:, :2]
         np.testing.assert_allclose(preds[b], want, rtol=1e-4, atol=5e-3)
+
+
+def test_rotated_warp_variants_vs_cv2():
+    """Shear (axis-gather) and banded-matmul rotated warps vs cv2: exact at
+    rot 0/90, small parallelogram-footprint deviation at intermediate angles."""
+    import cv2
+    from buctd_tpu.geometry import make_affine
+    from buctd_tpu.ops import warp_affine_rotated, warp_affine_shear
+
+    rng = np.random.RandomState(0)
+    img = cv2.GaussianBlur(rng.rand(160, 140, 3).astype(np.float32), (0, 0), 1.5)
+    c, s = np.array([70.0, 80.0]), np.array([0.6, 0.7])
+    for rot in (0.0, -30.0, 45.0, 60.0, 90.0):
+        t_inv = make_affine(c, s, rot, (96, 128), inv=True)[None]
+        want = cv2.warpAffine(img, make_affine(c, s, rot, (96, 128)), (96, 128))
+        for fn in (warp_affine_rotated, warp_affine_shear):
+            got = np.asarray(fn(jnp.array(img[None]), jnp.array(t_inv), (128, 96)))[0]
+            tol = 1e-4 if rot in (0.0, 90.0) else 0.2
+            assert np.abs(got - want).max() < tol, (fn.__name__, rot)
+            if rot not in (0.0, 90.0):
+                assert np.abs(got - want).mean() < 5e-3, (fn.__name__, rot)
+
+
+def test_crop_images_rotated_path():
+    from buctd_tpu.ops import crop_images
+    rng = np.random.RandomState(1)
+    imgs = jnp.array(rng.rand(3, 100, 120, 3).astype(np.float32))
+    c = jnp.array(rng.rand(3, 2) * 40 + 40)
+    s = jnp.array(np.full((3, 2), 0.5))
+    rots = jnp.array([0.0, 25.0, -80.0])
+    out = np.asarray(crop_images(imgs, c, s, rots, (64, 80)))
+    assert out.shape == (3, 80, 64, 3)
+    assert np.isfinite(out).all() and out.max() > 0
