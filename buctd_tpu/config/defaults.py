@@ -168,6 +168,9 @@ def default_config() -> CN:
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.DONATE_STATE = True
     _C.TPU.REMAT = False
+    # run warp/render/target on-device per batch (data/device_pipeline.py) instead
+    # of per-sample cv2 on the host
+    _C.TPU.DEVICE_PIPELINE = False
 
     return _C
 

@@ -79,9 +79,15 @@ def main():
     valid_dataset = get_dataset(cfg, is_train=False)
     # global batch = per-chip batch x mesh size (the reference's DataParallel
     # semantics: BATCH_SIZE_PER_GPU * len(GPUS), tools/train.py:187)
-    train_loader = Loader(train_dataset, cfg,
-                          batch_size=cfg.TRAIN.BATCH_SIZE_PER_GPU * mesh.size,
-                          shuffle=cfg.TRAIN.SHUFFLE, num_workers=cfg.WORKERS)
+    if cfg.TPU.DEVICE_PIPELINE:
+        from buctd_tpu.data.device_pipeline import DeviceLoader
+        train_loader = DeviceLoader(
+            train_dataset, cfg, batch_size=cfg.TRAIN.BATCH_SIZE_PER_GPU * mesh.size,
+            shuffle=cfg.TRAIN.SHUFFLE, num_workers=cfg.WORKERS)
+    else:
+        train_loader = Loader(train_dataset, cfg,
+                              batch_size=cfg.TRAIN.BATCH_SIZE_PER_GPU * mesh.size,
+                              shuffle=cfg.TRAIN.SHUFFLE, num_workers=cfg.WORKERS)
     valid_loader = Loader(valid_dataset, cfg,
                           batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * mesh.size,
                           num_workers=cfg.WORKERS)
