@@ -107,12 +107,35 @@ def get_pose_feature(model, variables, image_input, cond_joints_list, vis_thres=
     return preds
 
 
-def run_ctd_inference(images, conditions, model_path=None, vis_thres=0.0, args=None):
+def run_ctd_inference(images, conditions, model_path=None, vis_thres=0.0, args=None,
+                      refine_iters=1):
     """images: list of HxWx3 RGB arrays; conditions: per-image list of (J, 2+) poses.
-    Returns (N, P, J, 3) predictions in image coordinates."""
+    Returns (N, P, J, 3) predictions in image coordinates.
+
+    refine_iters > 1 runs the on-device lax.scan iterative-refinement loop
+    (buctd_tpu/core/refine.py) — each round feeds its predictions back as the next
+    round's conditions + condition-derived boxes."""
     if args is not None:
         update_config(cfg, args)
     model, variables = get_model(cfg, model_path)
+    if refine_iters > 1:
+        import jax.numpy as jnp
+
+        from buctd_tpu.core.refine import make_refine_fn
+        colors = np.array(COLORS_CROWDPOSE if cfg.MODEL.NUM_JOINTS == 14
+                          else COLORS_COCO, np.float64)
+        refine = make_refine_fn(cfg, model, colors, n_iters=refine_iters)
+        all_preds = []
+        for img, conds in zip(images, conditions):
+            conds = np.asarray(conds, np.float32)
+            if conds.shape[-1] == 2:
+                conds = np.concatenate([conds, np.ones((*conds.shape[:-1], 1),
+                                                       np.float32)], -1)
+            preds, maxvals = refine(variables, jnp.asarray(img), jnp.asarray(conds))
+            out = np.concatenate([np.asarray(preds), np.asarray(maxvals)], axis=2)
+            out[out[:, :, 2] < vis_thres] = np.nan
+            all_preds.append(out)
+        return np.array(all_preds)
     all_preds = [get_pose_feature(model, variables, img, conds, vis_thres)
                  for img, conds in zip(images, conditions)]
     return np.array(all_preds)
