@@ -27,6 +27,18 @@ def get_model(cfg, is_train: bool = False, dtype=None):
     return _REGISTRY[name](cfg, is_train=is_train, dtype=dtype)
 
 
+def compute_dtype(cfg):
+    """cfg.TPU.COMPUTE_DTYPE -> flax compute dtype (None == float32).
+
+    The tools pass this to get_model; library/test callers that need strict f32
+    numerics simply omit it."""
+    import jax.numpy as jnp
+
+    name = str(getattr(cfg.TPU, "COMPUTE_DTYPE", "float32")).lower()
+    return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float32": None, "f32": None}[name]
+
+
 def converter_options(name: str) -> dict:
     return {
         "key_map": KEY_MAPS.get(name),

@@ -87,12 +87,19 @@ def make_train_step(cfg, model, mesh=None):
     """
     loss_fn = make_loss(cfg)
 
+    def forward(params, batch_stats, x, dropout_rng):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": dropout_rng})
+
+    if bool(getattr(cfg.TPU, "REMAT", False)):
+        # trade FLOPs for HBM: recompute activations in the backward pass
+        forward = jax.checkpoint(forward)
+
     def step_fn(state: TrainState, batch, dropout_rng):
         def compute_loss(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["input"], train=True, mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng})
+            out, mutated = forward(params, state.batch_stats, batch["input"],
+                                   dropout_rng)
             loss = loss_fn(out, batch["target"], batch["target_weight"])
             return loss, (out, mutated["batch_stats"])
 

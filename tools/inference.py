@@ -34,7 +34,8 @@ def get_model(config, model_path):
     from buctd_tpu.data.pipeline import num_input_channels
     from buctd_tpu.models import converter_options, get_model as build
 
-    model = build(config, is_train=False)
+    from buctd_tpu.models import compute_dtype
+    model = build(config, is_train=False, dtype=compute_dtype(config))
     img_w, img_h = config.MODEL.IMAGE_SIZE
     sample = jnp.zeros((1, img_h, img_w, num_input_channels(config)))
     template = jax.jit(lambda k: model.init(k, sample, train=False))(

@@ -72,7 +72,8 @@ def main():
     writer = MetricWriter(tb_log_dir)
 
     mesh = make_mesh(cfg)
-    model = get_model(cfg, is_train=False)
+    from buctd_tpu.models import compute_dtype
+    model = get_model(cfg, is_train=False, dtype=compute_dtype(cfg))
     variables = load_variables(cfg, model, final_output_dir)
     img_w, img_h = cfg.MODEL.IMAGE_SIZE
     logger.info(get_model_summary(model, variables,

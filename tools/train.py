@@ -64,7 +64,8 @@ def main():
     mesh = make_mesh(cfg)
     logger.info("=> mesh: %s over %d devices", mesh.axis_names, mesh.size)
 
-    model = get_model(cfg, is_train=True)
+    from buctd_tpu.models import compute_dtype
+    model = get_model(cfg, is_train=True, dtype=compute_dtype(cfg))
     C = num_input_channels(cfg)
     img_w, img_h = cfg.MODEL.IMAGE_SIZE
     sample = jnp.zeros((1, img_h, img_w, C))
