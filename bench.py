@@ -18,6 +18,10 @@ import types
 
 import numpy as np
 
+from buctd_tpu.utils.compcache import enable as _enable_compcache
+
+_enable_compcache()
+
 B = 128         # crops per step (serving batch; fwd is ~2x more efficient per crop
                 # at 128 than 32 — MXU fill on the W48 branches)
 STEPS = 15      # timed steps

@@ -68,7 +68,7 @@ def make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh=None):
 
     def step(variables, batch):
         x = batch["input"]
-        out = model.apply(variables, x, train=False)          # (B, h, w, J)
+        B = x.shape[0]
 
         if flip_test:
             rgb_f = x[..., :3][:, :, ::-1, :]
@@ -87,11 +87,16 @@ def make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh=None):
                 xf = jnp.concatenate([rgb_f, cond_f], axis=-1)
             else:
                 xf = rgb_f
-            out_f = model.apply(variables, xf, train=False)
+            # one 2B forward instead of two B forwards: ~25% better MXU fill
+            out_all = model.apply(variables, jnp.concatenate([x, xf], 0),
+                                  train=False)
+            out, out_f = out_all[:B], out_all[B:]
             out_f = out_f[:, :, ::-1, :][..., perm]            # flip_back, NHWC
             if shift:
                 out_f = out_f.at[:, :, 1:, :].set(out_f[:, :, :-1, :])
             out = (out + out_f) * 0.5
+        else:
+            out = model.apply(variables, x, train=False)       # (B, h, w, J)
 
         loss = loss_fn(out, batch["target"], batch["target_weight"])
         out_jchw = out.transpose(0, 3, 1, 2)

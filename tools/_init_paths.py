@@ -20,3 +20,7 @@ if os.environ.get("BUCTD_FORCE_CPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+from buctd_tpu.utils.compcache import enable as _enable_compcache  # noqa: E402
+
+_enable_compcache()
