@@ -204,12 +204,14 @@ def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
         state, metrics = train_step(state, dev_batch, step_rng)
 
         n = batch["input"].shape[0]
-        losses.update(float(metrics["loss"]), n)
-        acc.update(float(metrics["acc"]), max(int(metrics["cnt"]), 1))
         batch_time.update(time.time() - end)
         end = time.time()
 
         if i % cfg.PRINT_FREQ == 0:
+            # fetch metrics only at print time: a per-step host fetch would fence
+            # the device every step and kill dispatch pipelining
+            losses.update(float(metrics["loss"]), n)
+            acc.update(float(metrics["acc"]), max(int(metrics["cnt"]), 1))
             logger.info(
                 "Epoch: [%d][%d/%d]\tTime %.3fs (%.3fs)\tData %.3fs\t"
                 "Loss %.5f (%.5f)\tAccuracy %.3f (%.3f)",

@@ -45,7 +45,7 @@ class MetricWriter:
 
     def __init__(self, log_dir: str):
         self.log_dir = log_dir
-        self.step = 0
+        self._steps: dict = {}
         self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         try:
             from tensorboardX import SummaryWriter
@@ -54,7 +54,9 @@ class MetricWriter:
             self._tb = None
 
     def add_scalar(self, tag: str, value, step: int | None = None):
-        step = self.step if step is None else step
+        if step is None:  # auto-increment per tag, like the reference's
+            step = self._steps.get(tag, 0)  # writer_dict global_steps counters
+            self._steps[tag] = step + 1
         self._f.write(json.dumps({"tag": tag, "value": float(value),
                                   "step": int(step), "ts": time.time()}) + "\n")
         self._f.flush()

@@ -84,9 +84,16 @@ def main():
     perf = None
     for it in range(refine_iters):
         valid_dataset = get_dataset(cfg, is_train=False)
-        valid_loader = Loader(valid_dataset, cfg,
-                              batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * mesh.size,
-                              num_workers=cfg.WORKERS)
+        if cfg.TPU.DEVICE_PIPELINE:
+            from buctd_tpu.data.device_pipeline import DeviceLoader
+            valid_loader = DeviceLoader(
+                valid_dataset, cfg,
+                batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * mesh.size,
+                num_workers=cfg.WORKERS)
+        else:
+            valid_loader = Loader(valid_dataset, cfg,
+                                  batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * mesh.size,
+                                  num_workers=cfg.WORKERS)
         name_values, perf = validate(cfg, valid_loader, valid_dataset, model,
                                      variables, final_output_dir, epoch=it,
                                      mesh=mesh, writer=writer,
