@@ -200,8 +200,8 @@ def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
         if mesh is not None:
             from ..parallel.mesh import shard_batch
             dev_batch = shard_batch(dev_batch, mesh)
-        rng, step_rng = jax.random.split(rng)
-        state, metrics = train_step(state, dev_batch, step_rng)
+        # the step folds state.step into this epoch key on device (state.py)
+        state, metrics = train_step(state, dev_batch, rng)
 
         n = batch["input"].shape[0]
         batch_time.update(time.time() - end)

@@ -97,6 +97,10 @@ def make_train_step(cfg, model, mesh=None):
         forward = jax.checkpoint(forward)
 
     def step_fn(state: TrainState, batch, dropout_rng):
+        # derive the per-step key INSIDE the jit: a host-side split would be an
+        # eager device dispatch every step (expensive through the device relay)
+        dropout_rng = jax.random.fold_in(dropout_rng, state.step)
+
         def compute_loss(params):
             out, mutated = forward(params, state.batch_stats, batch["input"],
                                    dropout_rng)
