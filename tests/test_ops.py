@@ -305,3 +305,32 @@ def test_crop_images_rotated_path():
     out = np.asarray(crop_images(imgs, c, s, rots, (64, 80)))
     assert out.shape == (3, 80, 64, 3)
     assert np.isfinite(out).all() and out.max() > 0
+
+
+def test_pallas_warp_matches_matmul_engine():
+    """Pallas rotated-warp kernel (interpret mode on CPU) vs the banded-matmul
+    engine: identical two-pass semantics."""
+    import jax.experimental.pallas as pl
+    from buctd_tpu.geometry import make_affine
+    from buctd_tpu.ops import warp_affine_rotated
+
+    orig = pl.pallas_call
+    pl.pallas_call = lambda *a, **k: orig(*a, interpret=True, **k)
+    try:
+        import importlib
+
+        import buctd_tpu.ops.pallas_warp as pw
+        importlib.reload(pw)
+        rng = np.random.RandomState(0)
+        img = rng.rand(160, 140, 3).astype(np.float32)
+        c, s = np.array([70.0, 80.0]), np.array([0.6, 0.7])
+        for rot in (0.0, 30.0, -60.0, 90.0):
+            t_inv = make_affine(c, s, rot, (96, 128), inv=True)[None]
+            want = np.asarray(warp_affine_rotated(jnp.array(img[None]),
+                                                  jnp.array(t_inv), (128, 96)))[0]
+            got = np.asarray(pw.warp_affine_pallas(jnp.array(img[None]),
+                                                   jnp.array(t_inv), (128, 96)))[0]
+            assert np.abs(got - want).max() < 1e-4, rot
+    finally:
+        pl.pallas_call = orig
+        importlib.reload(pw)
