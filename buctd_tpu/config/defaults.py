@@ -164,7 +164,8 @@ def default_config() -> CN:
     _C.TPU = CN()
     _C.TPU.MESH_SHAPE = [-1]        # -1 = all visible devices on the 'data' axis
     _C.TPU.MESH_AXES = ["data"]
-    _C.TPU.COMPUTE_DTYPE = "bfloat16"
+    _C.TPU.COMPUTE_DTYPE = "bfloat16"   # training compute
+    _C.TPU.EVAL_DTYPE = "float32"       # tools/test.py: AP parity needs f32 argmax
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.DONATE_STATE = True
     _C.TPU.REMAT = False

@@ -27,14 +27,15 @@ def get_model(cfg, is_train: bool = False, dtype=None):
     return _REGISTRY[name](cfg, is_train=is_train, dtype=dtype)
 
 
-def compute_dtype(cfg):
-    """cfg.TPU.COMPUTE_DTYPE -> flax compute dtype (None == float32).
+def compute_dtype(cfg, key: str = "COMPUTE_DTYPE"):
+    """cfg.TPU.<key> -> flax compute dtype (None == float32).
 
     The tools pass this to get_model; library/test callers that need strict f32
-    numerics simply omit it."""
+    numerics simply omit it.  tools/test.py uses key='EVAL_DTYPE' (f32 default):
+    bf16 heatmaps can flip argmaxes near ties, which costs AP parity."""
     import jax.numpy as jnp
 
-    name = str(getattr(cfg.TPU, "COMPUTE_DTYPE", "float32")).lower()
+    name = str(getattr(cfg.TPU, key, "float32")).lower()
     return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
             "float32": None, "f32": None}[name]
 

@@ -73,7 +73,7 @@ def main():
 
     mesh = make_mesh(cfg)
     from buctd_tpu.models import compute_dtype
-    model = get_model(cfg, is_train=False, dtype=compute_dtype(cfg))
+    model = get_model(cfg, is_train=False, dtype=compute_dtype(cfg, "EVAL_DTYPE"))
     variables = load_variables(cfg, model, final_output_dir)
     img_w, img_h = cfg.MODEL.IMAGE_SIZE
     logger.info(get_model_summary(model, variables,
