@@ -27,8 +27,19 @@ if "torchvision" not in sys.modules:
         import torch.nn.functional as F
         return F.interpolate(img, size=list(size), mode="bilinear", align_corners=False)
 
+    class _Normalize:  # lib/utils/utils.py:92 uses it as a default arg
+        def __init__(self, mean, std):
+            self.mean, self.std = mean, std
+
+        def __call__(self, t):
+            mean = torch.tensor(self.mean)[:, None, None]
+            std = torch.tensor(self.std)[:, None, None]
+            return (t - mean) / std
+
     tf.resize = _resize
     tr.functional = tf
+    tr.Normalize = _Normalize
+    tr.Compose = lambda fs: (lambda x: [x := f(x) for f in fs][-1])
     tv.transforms = tr
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tr
