@@ -12,7 +12,6 @@ them on device.
 
 from __future__ import annotations
 
-import functools
 from concurrent.futures import ThreadPoolExecutor
 
 import jax

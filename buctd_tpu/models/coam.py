@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.warp import resize_bilinear

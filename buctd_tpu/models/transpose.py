@@ -22,9 +22,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.warp import resize_bilinear
-from .hrnet import (BLOCKS, Bottleneck, HRModule, KERNEL_INIT, StageSpec, Transition,
+from .hrnet import (Bottleneck, HRModule, KERNEL_INIT, StageSpec, Transition,
                     batch_norm, conv)
-from .attention import LINEAR_INIT, dense
+from .attention import dense
 
 
 def make_sine_position_embedding(h: int, w: int, d_model: int,

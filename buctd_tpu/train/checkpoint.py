@@ -4,7 +4,6 @@ torch.save dict flow (lib/utils/utils.py:303-308, tools/train.py:243-266)."""
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import numpy as np

@@ -7,7 +7,6 @@ only (no weight decay), or SGD(momentum, wd, nesterov); LR follows torch MultiSt
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

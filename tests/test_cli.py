@@ -50,6 +50,7 @@ def test_train_cli_end_to_end(tmp_path):
         "DATASET.SYNTHESIS_POSE", "True", "TRAIN.USE_BU_BBOX", "True",
         "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
         "TEST.FLIP_TEST", "True", "TEST.POST_PROCESS", "True",
+        "TPU.DEVICE_PIPELINE", "True",  # train via the all-on-device loader
     ])
     assert r.returncode == 0, r.stderr[-4000:]
     out_dir = tmp_path / "out" / "coco" / "pose_hrnet" / "w32_384x288_adam_lr1e-3"
