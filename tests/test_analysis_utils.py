@@ -126,3 +126,24 @@ def test_model_extras_defaults():
     assert MODEL_EXTRAS["pose_resnet"].NUM_DECONV_LAYERS == 3
     assert MODEL_EXTRAS["pose_hrnet"].STAGE4.NUM_CHANNELS == [32, 64, 128, 256]
     assert MODEL_EXTRAS["pose_hrnet_w48"].STAGE4.NUM_CHANNELS == [48, 96, 192, 384]
+
+
+def test_analysis_cli(tmp_path):
+    import subprocess, sys, os
+    ann_file, gt = _tiny_coco(tmp_path)
+    dt_file = tmp_path / "dt.json"
+    dt_file.write_text(json.dumps(_perfect_results(gt)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, BUCTD_FORCE_CPU="1")
+    r = subprocess.run([sys.executable, os.path.join(repo, "tools/analysis.py"),
+                        "binned", "--gt", ann_file, "--dt", str(dt_file)],
+                       capture_output=True, text=True, env=env,
+                       cwd=os.path.join(repo, "tools"), timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout[r.stdout.index("{"):])
+    assert stats["AP"][0][3] == 1.0
+    r2 = subprocess.run([sys.executable, os.path.join(repo, "tools/analysis.py"),
+                         "rank", "--gt", ann_file, "--dt", str(dt_file)],
+                        capture_output=True, text=True, env=env,
+                        cwd=os.path.join(repo, "tools"), timeout=300)
+    assert r2.returncode == 0 and "OKS" in r2.stdout
