@@ -246,3 +246,69 @@ def test_synthesis_train_db(tmp_path):
     assert live.sum() >= 10
     d = np.linalg.norm((s["cond_joints"] - s["joints"])[live, :2], axis=-1)
     assert 0 < np.median(d) < 200
+
+
+def test_bu_detection_results_db(tmp_path):
+    """BU prediction json ({'preds','scores','image_paths'}) -> conditions +
+    kpt-derived boxes + cond_max_iou (dataloader.py:325-393)."""
+    ann_file, gt = _tiny_coco(tmp_path)
+    rng = np.random.RandomState(0)
+    preds_json = []
+    for img in gt["images"]:
+        people = [a for a in gt["annotations"] if a["image_id"] == img["id"]]
+        preds, scores = [], []
+        for ann in people:
+            kp = np.array(ann["keypoints"], np.float64).reshape(-1, 3)
+            kp[:, 2] = 0.8
+            preds.append(kp.tolist())
+            scores.append(0.9)
+        # a low-score detection (filtered by IMAGE_THRE); must be nonzero — the
+        # reference derives boxes for every pred before filtering (:381-390)
+        preds.append((np.array(preds[0]) + 3.0).tolist())
+        scores.append(0.01)
+        preds_json.append({"preds": preds, "scores": scores,
+                           "image_paths": [str(tmp_path / img["file_name"])]})
+    bu_file = tmp_path / "bu.json"
+    bu_file.write_text(json.dumps(preds_json))
+
+    cfg = _cfg(["MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
+                "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
+                "TEST.COCO_BBOX_FILE", str(bu_file), "TEST.IMAGE_THRE", "0.1",
+                "DATASET.TEST_IMAGE_DIR", str(tmp_path),
+                "DATASET.TEST_ANNOTATION_FILE", ann_file])
+    from buctd_tpu.data import get_dataset
+    ds = get_dataset(cfg, is_train=False)
+    assert len(ds.db) == 4  # low-score entries filtered by IMAGE_THRE
+    rec = ds.db[0]
+    assert rec["cond_joints"].shape == (17, 3)
+    assert rec["use_bu_bbox"] and rec["score"] == 0.9
+    assert 0 <= rec["cond_max_iou"] <= 1
+    s = ds.get_sample(0)
+    assert s["image"].shape == (384, 288, 3) and s["has_cond"] == 1.0
+
+
+def test_detector_pickle_db(tmp_path):
+    """Detector-box pickle, no conditions (dataloader.py:396-450)."""
+    import pickle
+    ann_file, gt = _tiny_coco(tmp_path)
+    results = []
+    for img in gt["images"]:
+        boxes = np.array([[10.0, 10.0, 120.0, 200.0, 0.95],
+                          [150.0, 20.0, 300.0, 220.0, 0.05]], np.float32)
+        results.append([boxes])
+    pkl = tmp_path / "dets.pkl"
+    pkl.write_bytes(pickle.dumps(results))
+
+    cfg = _cfg(["MODEL.CONDITIONAL_TOPDOWN", "False",
+                "TEST.USE_BU_BBOX", "False", "TEST.USE_GT_BBOX", "False",
+                "TEST.COCO_BBOX_FILE", str(pkl), "TEST.IMAGE_THRE", "0.1",
+                "DATASET.TEST_IMAGE_DIR", str(tmp_path),
+                "DATASET.TEST_ANNOTATION_FILE", ann_file])
+    from buctd_tpu.data import get_dataset
+    ds = get_dataset(cfg, is_train=False)
+    assert len(ds.db) == 2  # one kept box per image
+    rec = ds.db[0]
+    assert "cond_joints" not in rec
+    np.testing.assert_allclose(rec["center"], [10 + 55, 10 + 95], atol=1e-6)
+    s = ds.get_sample(0)
+    assert s["image"].shape == (384, 288, 3) and s["has_cond"] == 0.0
