@@ -57,8 +57,14 @@ class _CaptureDataset(torch.utils.data.Dataset):
 
 
 @pytest.mark.slow
-def test_reference_validate_vs_ours(tmp_path):
+@pytest.mark.parametrize("arch", ["prenet", "coam"])
+def test_reference_validate_vs_ours(tmp_path, arch):
     ann_file, _ = _tiny_coco(tmp_path)
+    arch_opts = (["MODEL.EXTRA.USE_PRE_NET", "True"] if arch == "prenet" else
+                 ["MODEL.NAME", "pose_hrnet_coam",
+                  "MODEL.EXTRA.USE_ATTENTION", "True",
+                  "MODEL.ATT_MODULES", "[False, True, False, False]",
+                  "MODEL.ATTENTION_HEADS", "1"])
     cfg = _cfg([
         "MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
         "DATASET.SYNTHESIS_POSE", "False",
@@ -68,7 +74,7 @@ def test_reference_validate_vs_ours(tmp_path):
         "MODEL.IMAGE_SIZE", "[96, 128]", "MODEL.HEATMAP_SIZE", "[24, 32]",
         # conditional plain-HRNet requires the preNet fusion stems: the reference's
         # conv1 is always 3-channel (pose_hrnet.py:287)
-        "MODEL.EXTRA.USE_PRE_NET", "True",
+        *arch_opts,
         "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
         "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
         "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
@@ -88,8 +94,11 @@ def test_reference_validate_vs_ours(tmp_path):
 
     ours_ds = get_dataset(cfg, is_train=False)
 
-    import models.pose_hrnet as ref_hrnet
-    torch_model = ref_hrnet.get_pose_net(cfg, is_train=False)
+    if arch == "prenet":
+        import models.pose_hrnet as ref_arch
+    else:
+        import models.pose_hrnet_coam as ref_arch
+    torch_model = ref_arch.get_pose_net(cfg, is_train=False)
     torch_model.eval()
 
     flax_model = get_model(cfg)
