@@ -73,17 +73,19 @@ def make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh=None):
         if flip_test:
             rgb_f = x[..., :3][:, :, ::-1, :]
             if conditional:
-                if mode == "colored":
+                if mode in ("colored", "plain"):
                     # fliplr_joints returns joints * joints_vis (transforms.py:61-75):
-                    # invisible cond joints are zeroed before the flipped re-render
+                    # invisible cond joints are zeroed before the flipped re-render.
+                    # NB reference quirk: flip_hm dispatches on channel count
+                    # (transforms.py:37), so a PLAIN condition (3 channels via
+                    # np.repeat) is re-rendered as COLORED for the flipped branch,
+                    # not mirrored — reproduced on purpose.
                     cj = batch["cond_joints"]
                     cv = batch["cond_joints_vis"][:, perm]
                     cjf = cj.at[..., 0].set(img_w - cj[..., 0] - 1)[:, perm] * cv
-                    cond_f = render_condition(cjf, mode, (img_h, img_w), colors)
-                elif mode == "stacked":
+                    cond_f = render_condition(cjf, "colored", (img_h, img_w), colors)
+                else:  # stacked: channel-swap + spatial flip of the rendered map
                     cond_f = x[..., 3:][:, :, ::-1, :][..., perm]
-                else:
-                    cond_f = x[..., 3:][:, :, ::-1, :]
                 xf = jnp.concatenate([rgb_f, cond_f], axis=-1)
             else:
                 xf = rgb_f

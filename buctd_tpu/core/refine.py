@@ -73,14 +73,20 @@ def make_refine_fn(cfg, model, kpt_colors, n_iters: int = 3):
     colors = np.asarray(kpt_colors, np.float32)
 
     @functools.partial(jax.jit, static_argnames=())
-    def refine(variables, image, cond_joints):
+    def refine(variables, image, cond_joints, img_wh=None):
+        """img_wh: optional (2,) [width, height] of the REAL image when ``image``
+        is padded to a bucket — condition boxes clip to these bounds, not the pad."""
         image = image.astype(jnp.float32)
         H, W = image.shape[0], image.shape[1]
+        if img_wh is None:
+            bw, bh = jnp.float32(W), jnp.float32(H)
+        else:
+            bw, bh = img_wh[0], img_wh[1]
         P = cond_joints.shape[0]
         imgs = jnp.broadcast_to(image[None], (P, H, W, 3))
 
         def one_round(cond, _):
-            center, scale = joints2cs_jax(cond, W, H, margin, aspect, scale_thre)
+            center, scale = joints2cs_jax(cond, bw, bh, margin, aspect, scale_thre)
             zeros = jnp.zeros(P)
             t_inv = make_affine_jax(center, scale, zeros, (img_w, img_h), inv=True)
             crops = warp_affine_aligned(imgs, t_inv, (img_h, img_w))

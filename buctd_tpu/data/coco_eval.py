@@ -111,6 +111,7 @@ class COCOKeypointEval:
                 ious = ious_full[:, order] if len(gts) else ious_full
 
                 D, G = len(dts), len(gts_s)
+                crowd = [g.get("iscrowd", 0) for g in gts_s]
                 dtm = np.zeros((T, D))
                 gtm = np.zeros((T, G))
                 dt_ig = np.zeros((T, D))
@@ -119,7 +120,10 @@ class COCOKeypointEval:
                         iou = min(thr, 1 - 1e-10)
                         m = -1
                         for gi in range(G):
-                            if gtm[t, gi] > 0:
+                            # a matched GT can't absorb another dt UNLESS it is a
+                            # crowd region (pycocotools evaluateImg: 'if gtm>0 and
+                            # not iscrowd: continue')
+                            if gtm[t, gi] > 0 and not crowd[gi]:
                                 continue
                             if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
                                 break

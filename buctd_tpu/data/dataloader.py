@@ -197,26 +197,31 @@ class CocoStyleDataset(JointsDataset):
             img_name = img_pred["image_paths"][0]
             J = self.num_joints
 
-            boxes, conds, cond_vis = [], [], []
-            for p in preds:
+            boxes, conds, cond_vis, kept_scores = [], [], [], []
+            for p, sc in zip(preds, scores):
                 p = np.array(p, np.float64)
                 cj = np.zeros((J, 3))
                 cj[:, :2] = p[:, :2]
                 cv = np.zeros((J, 3))
                 cv[:, 0] = p[:, 2]
                 cv[:, 1] = p[:, 2]
+                nzx, nzy = np.nonzero(cj[:, 0]), np.nonzero(cj[:, 1])
+                if len(nzx[0]) == 0 or len(nzy[0]) == 0:
+                    # fully-undetected pose: no box can be derived (the reference
+                    # crashes here, :356-359; skipped like _load_pose_results)
+                    continue
                 conds.append(cj)
                 cond_vis.append(cv)
-                nzx, nzy = np.nonzero(cj[:, 0]), np.nonzero(cj[:, 1])
+                kept_scores.append(sc)
                 xmin = np.min(cj[:, 0][nzx]) - self.bu_bbox_margin
                 xmax = np.max(cj[:, 0][nzx]) + self.bu_bbox_margin
                 ymin = np.min(cj[:, 1][nzy]) - self.bu_bbox_margin
                 ymax = np.max(cj[:, 1][nzy]) + self.bu_bbox_margin
                 boxes.append([xmin, ymin, xmax - xmin, ymax - ymin])
 
-            for i, score in enumerate(scores):
+            for i, score in enumerate(kept_scores):
                 ious = [self.compute_iou(boxes[i], boxes[j])
-                        for j in range(len(preds)) if j != i]
+                        for j in range(len(boxes)) if j != i]
                 if score < self.image_thre:
                     continue
                 center, scale = self._box2cs(boxes[i])

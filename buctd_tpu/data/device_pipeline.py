@@ -80,6 +80,8 @@ class DeviceLoader:
         has_cond = cond_joints is not None
 
         use_bu_bbox = db_rec.get("use_bu_bbox", False)
+        # NB reference quirk: the second guard reads ONLY joint 0's y
+        # (JointsDataset.py:218) — see joints_dataset.get_sample
         if (use_bu_bbox and has_cond and cond_joints[:, 0].sum() != 0
                 and cond_joints[0, 1].sum() != 0):
             nzx = np.nonzero(cond_joints[:, 0])

@@ -229,7 +229,10 @@ class JointsDataset:
         cond_joints, cond_joints_vis = self._choose_condition(db_rec, joints, joints_vis)
         has_cond = cond_joints is not None
 
-        # BU-derived box from the (possibly synthesized) condition (:218-232)
+        # BU-derived box from the (possibly synthesized) condition (:218-232).
+        # NB reference quirk reproduced on purpose: the second guard reads ONLY
+        # joint 0's y (`cond_joints[0, 1].sum()`, JointsDataset.py:218) — it is not
+        # a typo for [:, 1] here.
         if (use_bu_bbox and has_cond and cond_joints[:, 0].sum() != 0
                 and cond_joints[0, 1].sum() != 0):
             nz = np.nonzero(cond_joints[:, 0])

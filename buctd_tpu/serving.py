@@ -85,8 +85,9 @@ class PoseEstimator:
         if pb != P:  # pad with copies of the first pose; sliced off below
             conds = np.concatenate([conds, np.repeat(conds[:1], pb - P, 0)])
 
+        true_wh = jnp.asarray([image.shape[1], image.shape[0]], jnp.float32)
         preds, maxvals = self.refine(self.variables, jnp.asarray(img_pad),
-                                     jnp.asarray(conds))
+                                     jnp.asarray(conds), img_wh=true_wh)
         out = np.concatenate([np.asarray(preds), np.asarray(maxvals)], axis=2)[:P]
         out[out[:, :, 2] < vis_thres] = np.nan
         return out

@@ -134,3 +134,42 @@ def test_unannotated_gt_is_ignored():
     dts = [_dt(1, vis_pose, 0.9)]
     ev = _run(gt, dts)
     assert ev.summarize_coco()[0] == pytest.approx(1.0)
+
+
+def test_iscrowd_gt_absorbs_multiple_detections():
+    """pycocotools exempts crowd GTs from single-match: extra detections over a
+    crowd region are ignored, not false positives."""
+    J = 17
+    kps_a = []
+    for k in range(J):
+        kps_a += [50.0 + k, 60.0 + k, 2]
+    gt = {
+        "images": [{"id": 1, "width": 200, "height": 200}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "iscrowd": 0,
+             "keypoints": kps_a, "num_keypoints": J,
+             "bbox": [40, 50, 40, 40], "area": 1600},
+            {"id": 2, "image_id": 1, "category_id": 1, "iscrowd": 1,
+             "keypoints": [0.0] * (3 * J), "num_keypoints": 0,
+             "bbox": [100, 100, 80, 80], "area": 6400},
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    coco_gt = COCOIndex(gt)
+    # perfect dt for the real person + two dts inside the crowd region
+    crowd_kps = []
+    for k in range(J):
+        crowd_kps += [120.0 + k % 5, 130.0 + k % 7, 1]
+    dts = [
+        {"image_id": 1, "category_id": 1, "keypoints": kps_a, "score": 0.9},
+        {"image_id": 1, "category_id": 1, "keypoints": crowd_kps, "score": 0.8},
+        {"image_id": 1, "category_id": 1,
+         "keypoints": [v + 2 for v in crowd_kps], "score": 0.7},
+    ]
+    from buctd_tpu.data.datasets.coco import COCO_OKS_SIGMAS
+    ev = COCOKeypointEval(coco_gt, coco_gt.loadRes(dts), COCO_OKS_SIGMAS)
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize_coco()
+    # both crowd-region dts must be ignored -> perfect AP on the one real GT
+    assert stats[0] == pytest.approx(1.0), stats

@@ -215,3 +215,26 @@ def test_process_shard_single_host():
     from buctd_tpu.parallel import initialize_distributed, process_shard
     assert initialize_distributed() is False  # single-process: no-op
     assert process_shard(10) == slice(0, 10)
+
+
+def test_pck_accuracy_matches_reference():
+    """Golden parity vs lib/core/evaluate.py accuracy() incl. its swapped [h, w]/10
+    normalizer and cnt = #valid joint types."""
+    import importlib.util, sys
+    sys.path.insert(0, "/root/reference/lib")
+    spec = importlib.util.spec_from_file_location(
+        "ref_evaluate", "/root/reference/lib/core/evaluate.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from buctd_tpu.core.metrics import pck_accuracy
+    rng = np.random.RandomState(0)
+    B, J, h, w = 6, 17, 32, 24
+    out = rng.rand(B, J, h, w).astype(np.float32)
+    tgt = rng.rand(B, J, h, w).astype(np.float32)
+    tgt[:, 3] = 0  # one joint type entirely invalid (argmax at 0,0)
+
+    _, want_avg, want_cnt, _ = ref.accuracy(out, tgt)
+    got_avg, got_cnt, _ = pck_accuracy(jnp.array(out), jnp.array(tgt))
+    assert int(got_cnt) == want_cnt
+    np.testing.assert_allclose(float(got_avg), want_avg, atol=1e-6)

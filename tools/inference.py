@@ -52,6 +52,34 @@ def get_model(config, model_path):
     return model, variables
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_forward(model, img_h, img_w, hm_h, hm_w, post_process, colors):
+    """One jitted pipeline per (model, geometry): defining the jit inside the
+    per-image call would re-trace/compile for every image."""
+    import jax
+    import jax.numpy as jnp
+
+    from buctd_tpu.data.joints_dataset import IMAGENET_MEAN, IMAGENET_STD
+    from buctd_tpu.ops import get_final_preds, render_condition_colored
+
+    colors = np.asarray(colors, np.float64)
+
+    @jax.jit
+    def forward(variables, crops, conds, centers, scales):
+        x = crops / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        cond_img = render_condition_colored(conds, colors, (img_h, img_w))
+        inp = jnp.concatenate([x, cond_img], axis=-1)
+        hm = model.apply(variables, inp, train=False).transpose(0, 3, 1, 2)
+        return get_final_preds(hm, centers, scales, (hm_w, hm_h),
+                               post_process=post_process)
+
+    return forward
+
+
 def get_pose_feature(model, variables, image_input, cond_joints_list, vis_thres=0.0):
     """All condition crops of one image -> (P, J, 3) predictions."""
     import cv2
@@ -92,16 +120,8 @@ def get_pose_feature(model, variables, image_input, cond_joints_list, vis_thres=
     centers = np.stack(centers)
     scales = np.stack(scales)
 
-    @jax.jit
-    def forward(variables, crops, conds, centers, scales):
-        x = crops / 255.0
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        cond_img = render_condition_colored(conds, colors, (img_h, img_w))
-        inp = jnp.concatenate([x, cond_img], axis=-1)
-        hm = model.apply(variables, inp, train=False).transpose(0, 3, 1, 2)
-        return get_final_preds(hm, centers, scales, (hm_w, hm_h),
-                               post_process=bool(cfg.TEST.POST_PROCESS))
-
+    forward = _jitted_forward(model, img_h, img_w, hm_h, hm_w,
+                              bool(cfg.TEST.POST_PROCESS), tuple(map(tuple, colors)))
     preds, maxvals = forward(variables, crops, conds, centers, scales)
     preds = np.concatenate([np.asarray(preds), np.asarray(maxvals)], axis=2)
     preds[preds[:, :, 2] < vis_thres] = np.nan

@@ -81,8 +81,15 @@ def main():
     variables = replicate(variables, mesh)
 
     refine_iters = max(int(cfg.TEST.REFINE_ITERS), 1)
+    user_output_json = cfg.OUTPUT_JSON
     perf = None
     for it in range(refine_iters):
+        if refine_iters > 1:
+            # intermediate rounds must write the default epoch-numbered results
+            # path (the next round reads it); OUTPUT_JSON applies to the final one
+            cfg.defrost()
+            cfg.OUTPUT_JSON = (user_output_json if it == refine_iters - 1 else None)
+            cfg.freeze()
         valid_dataset = get_dataset(cfg, is_train=False)
         if cfg.TPU.DEVICE_PIPELINE:
             from buctd_tpu.data.device_pipeline import DeviceLoader
