@@ -5,8 +5,8 @@ pipeline moves the ENTIRE dense per-batch preprocessing into one jitted program 
 the TPU; the host only decodes images, draws augmentation parameters, and composes
 affines:
 
-  host  : decode -> condition choice / synthesis -> bbox + augmentation draws ->
-          compose (flip ∘ crop) affine -> transform joints (cheap numpy)
+  host  : JointsDataset.plan_sample — decode, condition choice / synthesis,
+          bbox + augmentation draws, crop affine, joint transforms (cheap numpy)
   device: crop-aug rectangle masking -> rotated banded-matmul warp ->
           imagenet normalize -> condition render -> channel concat ->
           target Gaussians — one XLA program per image-bucket shape.
@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import make_affine
 from ..ops import generate_target, warp_affine_rotated
 from .joints_dataset import IMAGENET_MEAN, IMAGENET_STD
 from .pipeline import condition_mode, render_condition
@@ -63,114 +62,18 @@ class DeviceLoader:
 
     # ------------------------------------------------------------------
     def _host_sample(self, idx):
-        """Per-sample host work: everything data-dependent, nothing dense."""
-        import copy
-        import random
-
-        from .joints_dataset import imread_rgb
-
-        ds = self.ds
-        db_rec = copy.deepcopy(ds.db[idx])
-        img = imread_rgb(db_rec["image"], ds.color_rgb, ds.data_format)
-        H, W = img.shape[:2]
-
-        joints = np.asarray(db_rec["joints_3d"], np.float64).copy()
-        joints_vis = np.asarray(db_rec["joints_3d_vis"], np.float64).copy()
-        cond_joints, cond_joints_vis = ds._choose_condition(db_rec, joints, joints_vis)
-        has_cond = cond_joints is not None
-
-        use_bu_bbox = db_rec.get("use_bu_bbox", False)
-        # NB reference quirk: the second guard reads ONLY joint 0's y
-        # (JointsDataset.py:218) — see joints_dataset.get_sample
-        if (use_bu_bbox and has_cond and cond_joints[:, 0].sum() != 0
-                and cond_joints[0, 1].sum() != 0):
-            nzx = np.nonzero(cond_joints[:, 0])
-            nzy = np.nonzero(cond_joints[:, 1])
-            xmin = np.clip(np.min(cond_joints[:, 0][nzx]) - ds.bu_bbox_margin, 0, W)
-            xmax = np.clip(np.max(cond_joints[:, 0][nzx]) + ds.bu_bbox_margin, 0, W)
-            ymin = np.clip(np.min(cond_joints[:, 1][nzy]) - ds.bu_bbox_margin, 0, H)
-            ymax = np.clip(np.max(cond_joints[:, 1][nzy]) + ds.bu_bbox_margin, 0, H)
-            bbox = [xmin, ymin, xmax - xmin, ymax - ymin]
-            c, s = ds._xywh2cs(*bbox)
-        else:
-            c = np.array(db_rec["center"], np.float64).copy()
-            s = np.array(db_rec["scale"], np.float64).copy()
-            bbox = db_rec.get("bbox", [0, 0, W, H])
-        score = db_rec.get("score", 1)
-        r, flipped = 0.0, False
-
-        if ds.is_train:
-            if (np.sum(joints_vis[:, 0]) > ds.num_joints_half_body
-                    and np.random.rand() < ds.prob_half_body):
-                c_hb, s_hb = ds.half_body_transform(joints, joints_vis)
-                if c_hb is not None and s_hb is not None:
-                    c, s = c_hb, s_hb
-            sf, rf = ds.scale_factor, ds.rotation_factor
-            s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
-            r = (np.clip(np.random.randn() * rf, -rf * 2, rf * 2)
-                 if random.random() <= 0.6 else 0)
-            if ds.flip and random.random() <= 0.5:
-                flipped = True
-                from ..geometry import fliplr_joints
-                joints, joints_vis = fliplr_joints(joints, joints_vis, W, ds.flip_pairs)
-                c = c.copy()
-                c[0] = W - c[0] - 1
-                if has_cond:
-                    cond_joints, cond_joints_vis = fliplr_joints(
-                        cond_joints, cond_joints_vis, W, ds.flip_pairs)
-
-        # crop-frame affine in the (possibly flipped) frame...
-        trans = make_affine(c, s, r, ds.image_size)
-        trans_inv = make_affine(c, s, r, ds.image_size, inv=True)
-        # ...composed with the horizontal flip so the DEVICE warps the ORIGINAL
-        # image: sample original x at W - 1 - x_flipped
-        if flipped:
-            F = np.array([[-1.0, 0.0, W - 1.0], [0.0, 1.0, 0.0]])
-            trans_inv = F @ np.vstack([trans_inv, [0.0, 0.0, 1.0]])
-
-        # crop-style aug box, in the ORIGINAL image frame for device masking
-        mask_box = np.array([0, 0, W, H], np.float64)
-        if ds.new_crop_aug and ds.is_train:
-            x, y, w, h = np.array(bbox).astype(int)
-            if ds.bbox_aug:
-                x_d = w * random.randint(0, 20) // 10
-                y_d = h * random.randint(0, 20) // 10
-                x = int(x - x_d) if x - x_d > 0 else 0
-                y = int(y - y_d) if y - y_d > 0 else 0
-                w = int(w + 2 * x_d)
-                h = int(h + 2 * y_d)
-            if flipped:  # bbox was computed in the original frame
-                x = W - x - w
-            mask_box = np.array([x, y, w, h], np.float64)
-
-        vis_mask = joints_vis[:, 0] > 0
-        from ..geometry import affine_transform_points
-        joints[vis_mask, 0:2] = affine_transform_points(joints[vis_mask, 0:2], trans)
-        if has_cond:
-            cvis = cond_joints_vis[:, 0] > 0
-            cond_joints[cvis, 0:2] = affine_transform_points(
-                cond_joints[cvis, 0:2], trans)
-        else:
-            cond_joints = np.zeros((ds.num_joints, 3))
-            cond_joints_vis = np.zeros((ds.num_joints, 3))
-
-        return {
-            "image": img,
-            "trans_inv": trans_inv.astype(np.float32),
-            "mask_box": mask_box.astype(np.float32),
-            "joints": joints.astype(np.float32),
-            "joints_vis": joints_vis.astype(np.float32),
-            "cond_joints": cond_joints.astype(np.float32),
-            "cond_joints_vis": cond_joints_vis.astype(np.float32),
-            "has_cond": np.float32(has_cond and ds.condition_topdown),
-            "center": np.asarray(c, np.float32),
-            "scale": np.asarray(s, np.float32),
-            "rotation": np.float32(r),
-            "score": np.float32(score),
-            "annotation_id": np.int64(db_rec.get("annotation_id", -1)),
-            "cond_max_iou": np.float32(db_rec.get("cond_max_iou", 0.0)),
-            "image_path": db_rec["image"],
-        }
+        """Per-sample host work — JointsDataset.plan_sample plus device packaging
+        (the dict carries the possibly-FLIPPED source view; padding into the
+        bucket buffer copies it anyway, so no affine composition is needed)."""
+        plan = self.ds.plan_sample(idx)
+        H, W = plan["image"].shape[:2]
+        mask_box = (np.array(plan["mask_box"], np.float64)
+                    if plan["mask_box"] is not None
+                    else np.array([0, 0, W, H], np.float64))
+        plan["mask_box"] = mask_box.astype(np.float32)
+        plan["trans_inv"] = plan["trans_inv"].astype(np.float32)
+        plan.pop("trans")
+        return plan
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=32)

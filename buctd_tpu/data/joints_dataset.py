@@ -212,11 +212,15 @@ class JointsDataset:
         return np.asarray(cond_joints, np.float64), np.asarray(cond_joints_vis, np.float64)
 
     # ------------------------------------------------------------------
-    def get_sample(self, idx, data_numpy=None):
-        """One augmented sample (numpy dict).  ``data_numpy`` lets callers inject a
-        pre-decoded image (tests, in-memory serving)."""
-        import cv2
+    def plan_sample(self, idx, data_numpy=None):
+        """All host-side per-sample decisions WITHOUT the warp: condition choice /
+        synthesis, BU-bbox, augmentation draws, crop-aug box, affine, and joint
+        transforms.  Consumed by get_sample (cv2 warp on host) and by
+        device_pipeline.DeviceLoader (warp on TPU).
 
+        Returns a dict with 'image' (the possibly-FLIPPED source view), 'trans' /
+        'trans_inv' (crop affine in that frame), 'mask_box' (crop-aug zeroing
+        rectangle in that frame, or None), and crop-frame joints/conditions."""
         db_rec = copy.deepcopy(self.db[idx])
         image_file = db_rec["image"]
         if data_numpy is None:
@@ -277,11 +281,14 @@ class JointsDataset:
                         self.flip_pairs)
 
         trans = make_affine(c, s, r, self.image_size)
+        trans_inv = make_affine(c, s, r, self.image_size, inv=True)
 
-        # crop-style augmentation: zero outside the (optionally grown) bbox (:266-279)
-        src = data_numpy
+        # crop-style augmentation box (:266-279).  NB the reference computes the box
+        # in ORIGINAL coords but zeroes the (possibly flipped) image with it — the
+        # zeroed region mirrors relative to the person on flipped samples; both
+        # consumers apply the box to the same (flipped) frame, preserving that.
+        mask_box = None
         if self.new_crop_aug and self.is_train:
-            src = data_numpy.copy()
             x, y, w, h = np.array(bbox).astype(int)
             if self.bbox_aug:
                 x_d = w * random.randint(0, 20) // 10
@@ -290,15 +297,7 @@ class JointsDataset:
                 y = int(y - y_d) if y - y_d > 0 else 0
                 w = int(w + 2 * x_d)
                 h = int(h + 2 * y_d)
-            H, W = src.shape[:2]
-            src[0:H, 0:x] = 0
-            src[0:y, x:W] = 0
-            src[y + h:H, x:W] = 0
-            src[y:y + h, x + w:W] = 0
-
-        crop = cv2.warpAffine(src, trans,
-                              (int(self.image_size[0]), int(self.image_size[1])),
-                              flags=cv2.INTER_LINEAR)
+            mask_box = (x, y, w, h)
 
         vis_mask = joints_vis[:, 0] > 0
         joints[vis_mask, 0:2] = affine_transform_points(joints[vis_mask, 0:2], trans)
@@ -310,7 +309,10 @@ class JointsDataset:
             cond_joints_vis = np.zeros((self.num_joints, 3))
 
         return {
-            "image": np.ascontiguousarray(crop),
+            "image": data_numpy,
+            "trans": trans,
+            "trans_inv": trans_inv,
+            "mask_box": mask_box,
             "joints": joints.astype(np.float32),
             "joints_vis": joints_vis.astype(np.float32),
             "cond_joints": cond_joints.astype(np.float32),
@@ -324,5 +326,29 @@ class JointsDataset:
             "cond_max_iou": np.float32(db_rec.get("cond_max_iou", 0.0)),
             "image_path": image_file,
         }
+
+    def get_sample(self, idx, data_numpy=None):
+        """One augmented sample with the crop warped on the HOST (cv2), matching the
+        reference pipeline exactly.  ``data_numpy`` lets callers inject a pre-decoded
+        image (tests, in-memory serving)."""
+        import cv2
+
+        plan = self.plan_sample(idx, data_numpy)
+        src = plan.pop("image")
+        if plan["mask_box"] is not None:
+            src = src.copy()
+            x, y, w, h = plan["mask_box"]
+            H, W = src.shape[:2]
+            src[0:H, 0:x] = 0
+            src[0:y, x:W] = 0
+            src[y + h:H, x:W] = 0
+            src[y:y + h, x + w:W] = 0
+        crop = cv2.warpAffine(src, plan["trans"],
+                              (int(self.image_size[0]), int(self.image_size[1])),
+                              flags=cv2.INTER_LINEAR)
+        plan["image"] = np.ascontiguousarray(crop)
+        for k in ("trans", "trans_inv", "mask_box"):
+            plan.pop(k)
+        return plan
 
     __getitem__ = get_sample
