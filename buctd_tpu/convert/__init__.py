@@ -1,3 +1,3 @@
-from .torch2jax import torch_to_flax, load_torch_checkpoint
+from .torch2jax import torch_to_flax, load_torch_checkpoint, load_pretrained_subset
 
-__all__ = ["torch_to_flax", "load_torch_checkpoint"]
+__all__ = ["torch_to_flax", "load_torch_checkpoint", "load_pretrained_subset"]

@@ -107,3 +107,47 @@ def load_torch_checkpoint(path: str) -> dict:
                 break
     # strip DataParallel 'module.' prefixes
     return {k[7:] if k.startswith("module.") else k: v for k, v in ckpt.items()}
+
+
+def load_pretrained_subset(flax_variables: dict, state_dict: dict,
+                           pretrained_layers=("*",), key_map=None) -> dict:
+    """ImageNet warm start: fill only the layers listed in PRETRAINED_LAYERS.
+
+    Matches the reference's init_weights subset loading (pose_hrnet.py:596-605):
+    a torch key is loaded when its first dotted component is in pretrained_layers
+    (or the list is ['*']); everything else keeps its fresh initialization.
+    Missing/mismatched keys are skipped silently, like the reference's
+    need_init_state_dict filtering.
+    """
+    allowed = set(pretrained_layers)
+    wildcard = "*" in allowed
+
+    def subset_map(tkey):
+        if key_map is not None:
+            tkey = key_map(tkey)
+        return tkey
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if not (wildcard or k.split(".")[0] in allowed):
+            continue
+        sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    out = {}
+    for collection in flax_variables:
+        flat = jax.tree_util.tree_flatten_with_path(flax_variables[collection])
+        new_leaves = []
+        for path, template in flat[0]:
+            tkey = subset_map(_torch_key(collection, path))
+            if tkey in sd:
+                try:
+                    new_leaves.append(jnp.asarray(_convert_tensor(sd[tkey], template)))
+                    continue
+                except ValueError:
+                    pass  # shape mismatch (e.g. imagenet head) -> keep fresh init
+            new_leaves.append(template)
+        out[collection] = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(flax_variables[collection]), new_leaves)
+    return out

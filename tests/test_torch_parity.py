@@ -224,3 +224,47 @@ def test_forward_lamda_and_feature_parity():
     for got, want in ((got_lam, want_lam), (got_feat, want_feat)):
         scale = np.abs(want).max() + 1e-12
         assert np.abs(got - want).max() / scale < 2e-3
+
+
+def test_pretrained_subset_loading():
+    """init_weights-style subset warm start (pose_hrnet.py:596-614): listed layers
+    load from the checkpoint, everything else keeps its fresh initialization."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from buctd_tpu.convert import load_pretrained_subset
+    from buctd_tpu.models.hrnet import get_pose_net
+
+    cfg = _cfg(opts=["MODEL.IMAGE_SIZE", "[96, 128]",
+                     "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+                     "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+                     "MODEL.EXTRA.STAGE4.NUM_MODULES", "1"])
+    import models.pose_hrnet as ref_hrnet
+    torch_model = ref_hrnet.get_pose_net(cfg, is_train=False)
+    sd = torch_model.state_dict()
+
+    flax_model = get_pose_net(cfg)
+    fresh = flax_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 96, 3)),
+                            train=False)
+    loaded = load_pretrained_subset(fresh, sd,
+                                    pretrained_layers=["conv1", "bn1", "layer1"])
+
+    # conv1 came from torch (OIHW -> HWIO); params nest under the trunk module
+    want = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["_trunk"]["conv1"]["kernel"]), want, atol=1e-6)
+    # final_layer untouched (not in the list)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["final_layer"]["kernel"]),
+        np.asarray(fresh["params"]["final_layer"]["kernel"]), atol=0)
+    # conv2 untouched too
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["_trunk"]["conv2"]["kernel"]),
+        np.asarray(fresh["params"]["_trunk"]["conv2"]["kernel"]), atol=0)
+    # wildcard loads everything
+    all_loaded = load_pretrained_subset(fresh, sd, pretrained_layers=["*"])
+    want_fl = sd["final_layer.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(all_loaded["params"]["final_layer"]["kernel"]), want_fl,
+        atol=1e-6)

@@ -38,8 +38,21 @@ def parse_args():
 
 
 def load_warm_start(cfg, model, variables):
-    """Warm start from TEST.MODEL_FILE (tools/train.py:126-145): orbax dir or
-    torch .pth via the converter."""
+    """Warm start: MODEL.PRETRAINED loads an ImageNet-pretrained subset by
+    PRETRAINED_LAYERS (pose_hrnet.py:596-614); TEST.MODEL_FILE loads a full
+    checkpoint (tools/train.py:126-145, orbax dir or torch .pth)."""
+    import os
+
+    if cfg.MODEL.INIT_WEIGHTS and cfg.MODEL.PRETRAINED:
+        if not os.path.isfile(cfg.MODEL.PRETRAINED):
+            raise ValueError(f"MODEL.PRETRAINED not found: {cfg.MODEL.PRETRAINED}")
+        from buctd_tpu.convert import load_pretrained_subset, load_torch_checkpoint
+        layers = list(cfg.MODEL.EXTRA.get("PRETRAINED_LAYERS", ["*"]))
+        sd = load_torch_checkpoint(cfg.MODEL.PRETRAINED)
+        opts = converter_options(cfg.MODEL.NAME)
+        variables = load_pretrained_subset(variables, sd, layers,
+                                           key_map=opts.get("key_map"))
+
     path = cfg.TEST.MODEL_FILE
     if not path:
         return variables
