@@ -27,12 +27,14 @@ def create_logger(cfg, cfg_name: str, phase: str = "train"):
 
     time_str = time.strftime("%Y-%m-%d-%H-%M")
     log_file = f"{cfg_name}_{time_str}_{phase}.log"
-    head = "%(asctime)-15s %(message)s"
-    logging.basicConfig(filename=str(final_output_dir / log_file), format=head)
+    # explicit handlers: absl (pulled in by jax/orbax) configures the root logger
+    # first, which makes logging.basicConfig(filename=...) a silent no-op
     logger = logging.getLogger()
     logger.setLevel(logging.INFO)
-    console = logging.StreamHandler()
-    logger.addHandler(console)
+    fh = logging.FileHandler(str(final_output_dir / log_file))
+    fh.setFormatter(logging.Formatter("%(asctime)-15s %(message)s"))
+    logger.addHandler(fh)
+    logger.addHandler(logging.StreamHandler())
 
     tb_log_dir = (Path(cfg.LOG_DIR or "log") / dataset / model
                   / f"{cfg_name}_{time_str}")
