@@ -22,9 +22,9 @@ from buctd_tpu.utils.compcache import enable as _enable_compcache
 
 _enable_compcache()
 
-B = 128         # crops per step (serving batch; fwd is ~2x more efficient per crop
-                # at 128 than 32 — MXU fill on the W48 branches)
-STEPS = 15      # timed steps
+B = 256         # crops per step (serving batch; fwd throughput: 500/1030/1220
+                # crops/s at b32/128/256 — MXU fill on the W48 branches)
+STEPS = 10      # timed steps
 SRC_HW = 512    # synthetic source image side
 N_TORCH = 3     # baseline crops to time (single measurement, extrapolated)
 
