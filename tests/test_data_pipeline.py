@@ -312,3 +312,58 @@ def test_detector_pickle_db(tmp_path):
     np.testing.assert_allclose(rec["center"], [10 + 55, 10 + 95], atol=1e-6)
     s = ds.get_sample(0)
     assert s["image"].shape == (384, 288, 3) and s["has_cond"] == 0.0
+
+
+def test_tiny_crowdpose_end_to_end_eval(tmp_path):
+    """CrowdPose family: crowdIndex-binned eval stats, box-area-always, no NMS."""
+    import cv2
+    rng = np.random.RandomState(0)
+    J = 14
+    images, anns = [], []
+    aid = 1
+    for i, ci in enumerate([0.05, 0.5, 0.9]):
+        name = f"cp{i}.png"
+        cv2.imwrite(str(tmp_path / name), rng.randint(0, 255, (240, 320, 3), np.uint8))
+        images.append({"id": i + 1, "file_name": name, "width": 320, "height": 240,
+                       "crowdIndex": ci})
+        pts = np.stack([rng.uniform(30, 130, J), rng.uniform(30, 190, J)], 1)
+        kps = []
+        for x, y in pts:
+            kps += [float(x), float(y), 2]
+        anns.append({"id": aid, "image_id": i + 1, "category_id": 1, "iscrowd": 0,
+                     "keypoints": kps, "num_keypoints": J,
+                     "bbox": [20, 20, 120, 180], "area": 120 * 180,
+                     "cond_kpts": {"petr": kps}})
+        aid += 1
+    gt = {"images": images, "annotations": anns,
+          "categories": [{"id": 1, "name": "person",
+                          "keypoints": ["k"] * J, "skeleton": []}]}
+    ann_file = str(tmp_path / "cp.json")
+    (tmp_path / "cp.json").write_text(json.dumps(gt))
+
+    cfg = _cfg(["DATASET.DATASET", "crowdpose", "MODEL.NUM_JOINTS", "14",
+                "MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
+                "DATASET.SYNTHESIS_POSE", "False",
+                "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
+                "DATASET.TEST_IMAGE_DIR", str(tmp_path),
+                "DATASET.TEST_ANNOTATION_FILE", ann_file])
+    from buctd_tpu.data import get_dataset
+    ds = get_dataset(cfg, is_train=False)
+    assert len(ds.db) == 3
+
+    preds, boxes, paths = [], [], []
+    for rec, ann in zip(ds.db, gt["annotations"]):
+        kp = np.array(ann["keypoints"], np.float64).reshape(-1, 3)
+        kp[:, 2] = 0.9
+        preds.append(kp)
+        c, s = rec["center"], rec["scale"]
+        boxes.append([c[0], c[1], s[0], s[1], np.prod(np.asarray(s) * 200),
+                      1.0, ann["id"]])
+        paths.append(rec["image"])
+    name_value, ap = ds.evaluate(cfg, np.array(preds), str(tmp_path),
+                                 np.array(boxes), paths)
+    assert list(name_value.keys()) == ["AP", "Ap .5", "AP .75", "AR", "AR .5",
+                                       "AR .75", "AP (E)", "AP (M)", "AP (H)"]
+    assert ap == pytest.approx(1.0)
+    assert name_value["AP (E)"] == pytest.approx(1.0)
+    assert name_value["AP (H)"] == pytest.approx(1.0)
