@@ -76,3 +76,44 @@ def test_test_cli_with_refinement(tmp_path):
     res1 = out_dir / "results" / "keypoints_test_results_epoch1.json"
     assert res0.exists() and res1.exists(), r.stderr[-2000:]
     assert "refinement round 1" in r.stderr + r.stdout
+
+
+@pytest.mark.slow
+def test_convert_cli_roundtrip(tmp_path):
+    """tools/convert.py: torch .pth -> orbax -> load -> output parity."""
+    import numpy as np
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_torch_parity import _cfg  # torchvision stub + reference path
+    import models.pose_hrnet as ref_hrnet
+
+    tiny = ["MODEL.IMAGE_SIZE", "[96, 128]", "MODEL.HEATMAP_SIZE", "[24, 32]",
+            "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+            "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+            "MODEL.EXTRA.STAGE4.NUM_MODULES", "1"]
+    cfg = _cfg(opts=tiny)
+    tm = ref_hrnet.get_pose_net(cfg, is_train=False)
+    tm.eval()
+    pth = tmp_path / "m.pth"
+    torch.save({"latest_state_dict": tm.state_dict()}, str(pth))
+
+    env = dict(os.environ, BUCTD_FORCE_CPU="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/convert.py"),
+         "--cfg", "/root/reference/experiments/coco/hrnet/w32_384x288_adam_lr1e-3.yaml",
+         "--torch", str(pth), "--out", str(tmp_path / "conv"), *tiny],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    import jax
+    import jax.numpy as jnp
+    from buctd_tpu.models import get_model
+    from buctd_tpu.train.checkpoint import load_params
+    fm = get_model(cfg)
+    tmpl = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 96, 3)), train=False)
+    v = load_params(str(tmp_path / "conv"), template=tmpl)
+    x = np.random.RandomState(0).randn(2, 128, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(fm.apply(v, x, train=False)).transpose(0, 3, 1, 2)
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-12) < 2e-3
