@@ -19,27 +19,53 @@ def _to_saveable(state) -> dict:
     }
 
 
+# one shared checkpointer so successive async saves serialize correctly
+_CKPTR = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_saves():
+    """Block until all in-flight async checkpoint saves land."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
 def save_checkpoint(state, output_dir: str, name: str = "checkpoint",
-                    is_best: bool = False, perf: float | None = None) -> str:
+                    is_best: bool = False, perf: float | None = None,
+                    block: bool = True) -> str:
+    """Save the train state.  ``block=False`` overlaps the (slow, ~40 s on this
+    filesystem) orbax write with the next epoch's compute: the payload is
+    host-materialized up front, the previous save is awaited, and the new one runs
+    in orbax's background thread.  Call ``wait_for_saves()`` (or a final blocking
+    save) before exiting."""
     path = os.path.abspath(os.path.join(output_dir, name))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     payload = _to_saveable(state)
     payload["perf"] = np.float64(perf if perf is not None else 0.0)
+    ckptr.wait_until_finished()  # serialize with any previous async save
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
     if is_best:
+        ckptr.wait_until_finished()
         best = os.path.abspath(os.path.join(output_dir, "model_best"))
         ckptr.save(best, payload, force=True)
+    if block:
         ckptr.wait_until_finished()
     return path
 
 
 def restore_checkpoint(state, output_dir: str, name: str = "checkpoint"):
     """Restore into an existing TrainState template; returns (state, found)."""
+    wait_for_saves()  # don't read a checkpoint that is still being written
     path = os.path.abspath(os.path.join(output_dir, name))
     if not os.path.exists(path):
         return state, False
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     template = _to_saveable(state)
     template["perf"] = np.float64(0.0)
     restored = ckptr.restore(path, target=template)

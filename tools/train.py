@@ -136,10 +136,12 @@ def main():
         best_perf = max(perf, best_perf)
 
         logger.info("=> saving checkpoint to %s", final_output_dir)
-        save_checkpoint(state, final_output_dir, is_best=best_model, perf=perf)
+        # async: the ~40s orbax write overlaps the next epoch's compute
+        save_checkpoint(state, final_output_dir, is_best=best_model, perf=perf,
+                        block=False)
         if (epoch + 1) % 20 == 0:
             save_checkpoint(state, final_output_dir, name=f"checkpoint_ep{epoch}",
-                            perf=perf)
+                            perf=perf, block=False)
 
     save_checkpoint(state, final_output_dir, name="final_state", perf=best_perf)
     logger.info("=> done; best perf %.4f", best_perf)
