@@ -95,16 +95,18 @@ def measure_tpu():
             jnp.array(joints))
     # NB: on the axon relay backend block_until_ready() returns before execution
     # finishes; a host fetch is the only reliable fence, so time through np.asarray.
-    np.asarray(fn(*args)[0])  # compile
-    for _ in range(3):        # warm
-        np.asarray(fn(*args)[0])
+    def run(steps):
+        acc = None
+        for _ in range(steps):
+            preds, maxvals = fn(*args)
+            s = preds.sum() + maxvals.sum()
+            acc = s if acc is None else acc + s
+        return float(acc)     # one host fetch fences the whole dependency chain
+
+    run(1)                    # compile (incl. the eager reduction/add dispatches)
+    run(3)                    # warm
     t0 = time.perf_counter()
-    acc = None
-    for _ in range(STEPS):
-        preds, maxvals = fn(*args)
-        s = preds.sum() + maxvals.sum()
-        acc = s if acc is None else acc + s
-    float(acc)                # one host fetch fences the whole dependency chain
+    run(STEPS)
     dt = time.perf_counter() - t0
     return B * STEPS / dt, jax.devices()[0].platform
 

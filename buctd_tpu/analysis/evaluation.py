@@ -132,11 +132,9 @@ def coco_evaluation(gt_file, dt_file, output_dir=None, sigmas=COCO_OKS_SIGMAS,
     {stat_name: (n_overlap_bins, n_kpt_bins) matrix}; optionally writes the
     reference's heatmap-matrix PDFs."""
     coco_gt = COCOIndex(gt_file)
-    coco_dt = coco_gt.loadRes(dt_file)
-    info = _evaluate(coco_gt, coco_dt, sigmas)
 
     all_stats = {"num_instances": np.zeros((len(OVERLAP_GROUPS), len(NUM_KPT_GROUPS)))}
-    for name, _ in info:
+    for name in COCO_STATS_NAMES:
         all_stats[name] = np.zeros((len(OVERLAP_GROUPS), len(NUM_KPT_GROUPS)))
 
     for i, og in enumerate(OVERLAP_GROUPS):

@@ -57,9 +57,7 @@ def save_detections(coco_gt, gt_ann, dt_ann, image_dir, out_dir, rank, oks):
     (qualitative_evaluation.py:183)."""
     import cv2
 
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../../tools"))
-    from vis import plot_keypoints  # noqa: E402  (tools/vis.py)
+    from ..utils.skeletons import plot_keypoints
 
     info = coco_gt.imgs[gt_ann["image_id"]]
     path = os.path.join(image_dir, info["file_name"])

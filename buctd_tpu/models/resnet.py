@@ -108,6 +108,7 @@ class PoseResNet(nn.Module):
     def __call__(self, x, train: bool = False):
         spec, dt = self.spec, self.dtype
         if spec.use_pre_net:
+            assert x.shape[-1] >= 6, "preNet requires RGB + 3-channel condition input"
             x = ResNetPreNet(name="_prenet", dtype=dt)(x[..., :3], x[..., 3:6], train=train)
 
         x = conv(64, 7, 2, name="conv1", dtype=dt)(x)

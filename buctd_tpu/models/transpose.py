@@ -51,6 +51,35 @@ def make_sine_position_embedding(h: int, w: int, d_model: int,
     return pos.reshape(h * w, -1)
 
 
+class _PackedInProj(nn.Module):
+    """torch-layout packed qkv projection applied as three d-wide matmuls.
+
+    Keeps the single (d, 3d) kernel + (3d,) bias param tree of nn.Dense (so the
+    converter maps torch's in_proj_weight/_bias unchanged) but avoids computing the
+    full 3d-wide projection per input — q/k/v each only need their own third
+    (projecting all three would waste ~2x the FLOPs across every encoder layer).
+    """
+
+    d_model: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in):
+        from .attention import LINEAR_INIT
+
+        d = self.d_model
+        kernel = self.param("kernel", LINEAR_INIT, (d, 3 * d))
+        bias = self.param("bias", nn.initializers.zeros, (3 * d,))
+        dt = self.dtype or kernel.dtype
+
+        def proj(x, sl):
+            return (x.astype(dt) @ kernel[:, sl].astype(dt)
+                    + bias[sl].astype(dt))
+
+        return (proj(q_in, slice(0, d)), proj(k_in, slice(d, 2 * d)),
+                proj(v_in, slice(2 * d, 3 * d)))
+
+
 class MultiheadSelfAttention(nn.Module):
     """torch nn.MultiheadAttention-compatible self-attention with packed in_proj.
 
@@ -68,10 +97,8 @@ class MultiheadSelfAttention(nn.Module):
         B, L, d = q_in.shape
         h = self.n_head
         hd = d // h
-        in_proj = dense(3 * d, "in_proj", self.dtype)
-        qkv_q = in_proj(q_in)[..., :d]
-        qkv_k = in_proj(k_in)[..., d:2 * d]
-        qkv_v = in_proj(v_in)[..., 2 * d:]
+        qkv_q, qkv_k, qkv_v = _PackedInProj(d, self.dtype, name="in_proj")(
+            q_in, k_in, v_in)
         q = qkv_q.reshape(B, L, h, hd).transpose(0, 2, 1, 3) / np.sqrt(hd)
         k = qkv_k.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
         v = qkv_v.reshape(B, L, h, hd).transpose(0, 2, 1, 3)

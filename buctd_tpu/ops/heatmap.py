@@ -154,12 +154,6 @@ def _delta_profiles(points, out_hw, ksize, overwrite: bool):
     return ky, kx, keep
 
 
-def _peak_normalize(hm):
-    """heatmap /= max/255 unless max == 0 (JointsDataset.py:457-463)."""
-    am = jnp.max(hm)
-    return jnp.where(am == 0, hm, hm * (255.0 / am))
-
-
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def render_condition_colored(cond_joints, colors, out_hw):
     """3-channel rainbow condition image (get_condition_image_colored).
@@ -169,7 +163,8 @@ def render_condition_colored(cond_joints, colors, out_hw):
     """
     colors = jnp.asarray(colors, jnp.float32)
     ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=True)
-    canvas = jnp.einsum("bjh,bjw,jc->bhwc", ky, kx, colors)
+    canvas = jnp.einsum("bjh,bjw,jc->bhwc", ky, kx, colors,
+                        precision=jax.lax.Precision.HIGHEST)
     am = jnp.max(canvas, axis=(1, 2, 3), keepdims=True)
     return jnp.where(am == 0, canvas, canvas * (255.0 / am))
 
@@ -182,7 +177,8 @@ def render_condition_stacked(cond_joints, out_hw):
     generate_heatmap per joint.  Returns (B, H, W, J) float32.
     """
     ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=False)
-    canvas = jnp.einsum("bjh,bjw->bhwj", ky, kx) * 255.0
+    canvas = jnp.einsum("bjh,bjw->bhwj", ky, kx,
+                        precision=jax.lax.Precision.HIGHEST) * 255.0
     am = jnp.max(canvas, axis=(1, 2), keepdims=True)
     return jnp.where(am == 0, canvas, canvas * (255.0 / am))
 
@@ -195,7 +191,8 @@ def render_condition_plain(cond_joints, out_hw):
     trunc.  Returns (B, H, W, 3) float32 (integer-valued).
     """
     ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=True)
-    canvas = jnp.einsum("bjh,bjw->bhw", ky, kx) * 255.0
+    canvas = jnp.einsum("bjh,bjw->bhw", ky, kx,
+                        precision=jax.lax.Precision.HIGHEST) * 255.0
     am = jnp.max(canvas, axis=(1, 2), keepdims=True)
     hm = jnp.trunc(jnp.where(am == 0, canvas, canvas * (255.0 / am)))
     return jnp.repeat(hm[..., None], 3, axis=-1)

@@ -191,12 +191,14 @@ def _warp_two_pass_mm(img, t, out_hw):
     u = (a - b * c / d) * ox[None, :] + (b / d) * (Y[:, None] - f) + e
     kw = jnp.arange(W, dtype=jnp.float32)
     w1 = jax.nn.relu(1.0 - jnp.abs(u[:, None, :] - kw[None, :, None]))
-    i1 = jnp.einsum("ywc,ywo->yoc", img, w1)
+    i1 = jnp.einsum("ywc,ywo->yoc", img, w1,
+                    precision=jax.lax.Precision.HIGHEST)
 
     oy = jnp.arange(oh, dtype=jnp.float32)
     v = d * oy[:, None] + c * ox[None, :] + f
     w2 = jax.nn.relu(1.0 - jnp.abs(v[None, :, :] - Y[:, None, None]))
-    return jnp.einsum("yoc,yso->soc", i1, w2)
+    return jnp.einsum("yoc,yso->soc", i1, w2,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def warp_affine_rotated(images: jnp.ndarray, trans_dst2src: jnp.ndarray, out_hw) -> jnp.ndarray:
@@ -262,9 +264,14 @@ def warp_affine_aligned(images: jnp.ndarray, trans_dst2src: jnp.ndarray, out_hw)
     wx = _axis_taps(sx, W)                                  # (B, ow, W)
 
     img = images.astype(jnp.float32).reshape(B, H, W * C)
-    rows = jnp.einsum("boh,bhx->box", wy, img)              # (B, oh, W*C)
+    # HIGHEST precision: TPU einsum defaults to bf16 multiplies (~1e-3 rel
+    # error = a full intensity level on 0-255 pixels), which the CPU-only
+    # cv2-parity tests never see
+    rows = jnp.einsum("boh,bhx->box", wy, img,
+                      precision=jax.lax.Precision.HIGHEST)  # (B, oh, W*C)
     rows = rows.reshape(B, oh, W, C).transpose(0, 1, 3, 2).reshape(B, oh * C, W)
-    out = jnp.einsum("bqw,bow->bqo", rows, wx)              # (B, oh*C, ow)
+    out = jnp.einsum("bqw,bow->bqo", rows, wx,
+                     precision=jax.lax.Precision.HIGHEST)  # (B, oh*C, ow)
     return out.reshape(B, oh, C, ow).transpose(0, 1, 3, 2)
 
 

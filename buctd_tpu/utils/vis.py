@@ -66,7 +66,7 @@ def save_batch_heatmaps(batch_image, batch_heatmaps, file_name, normalize=True):
     grid = np.zeros((B * h, (J + 1) * w, 3), np.uint8)
     for i in range(B):
         img = cv2.resize(imgs[i], (w, h))
-        grid[i * h:(i + 1) * h, 0:w] = img
+        grid[i * h:(i + 1) * h, 0:w] = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
         for j in range(J):
             cm = cv2.applyColorMap((hms[i, :, :, j] * 255).astype(np.uint8),
                                    cv2.COLORMAP_JET)
