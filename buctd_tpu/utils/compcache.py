@@ -20,6 +20,10 @@ def enable(cache_dir: str | None = None) -> str | None:
     if not cache_dir:
         return None
     try:
+        # TPU only: XLA:CPU AOT results are machine-feature specific and a cache
+        # entry compiled on one host can SIGILL on another (observed warning)
+        if jax.default_backend() == "cpu":
+            return None
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
