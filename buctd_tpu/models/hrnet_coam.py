@@ -3,7 +3,8 @@
 Mirrors lib/models/pose_hrnet_coam.py:488-572: the input splits into RGB ([..., :3],
 fed to the stem) and the condition heatmap ([..., 3:]); CoAM blocks run right after
 transitions 1/2/3 and after stage4, gated by MODEL.ATT_MODULES.  Self-attention twins
-are gated by MODEL.SELFATT_MODULES (mutually exclusive per stage, :354-357).
+are gated by MODEL.SELFATT_MODULES (mutually exclusive per stage, :354-357) but are
+parameter-only: the reference forward never calls them (see the tap comment below).
 
 Unlike the reference (which duplicates all HRNet classes), the trunk is shared with
 pose_hrnet via HRNetTrunk taps.
@@ -77,11 +78,18 @@ class PoseHRNetCoAM(nn.Module):
                         name=f"stage{s + 1}_att", dtype=dt)(ys, cond, train=tr)
                 taps.append(tap)
             elif coam_spec.selfatt_modules[s]:
+                # Reference quirk (pose_hrnet_coam.py:521-562): every injection site
+                # is gated on ATT_MODULES[s] ONLY, so a SelfAttentionModule built from
+                # SELFATT_MODULES is constructed but NEVER called in forward (the
+                # asserts at :354-357 forbid both flags per stage).  We instantiate it
+                # so the param tree / checkpoint layout matches, discard its output
+                # (XLA dead-code-eliminates the compute under jit), and pass ys through.
                 def tap(ys, cond, tr, s=s, chans=chans):
                     del cond
-                    return SelfAttentionModule(
+                    SelfAttentionModule(
                         channel_list=chans, name=f"stage{s + 1}_att", dtype=dt)(
                         ys, train=tr)
+                    return ys
                 taps.append(tap)
             else:
                 taps.append(None)
