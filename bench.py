@@ -26,7 +26,8 @@ B = 256         # crops per step (serving batch; fwd throughput: 500/1030/1220
                 # crops/s at b32/128/256 — MXU fill on the W48 branches)
 STEPS = 10      # timed steps
 SRC_HW = 512    # synthetic source image side
-N_TORCH = 3     # baseline crops to time (single measurement, extrapolated)
+N_TORCH = 20    # baseline crops to time
+V5E_BF16_PEAK = 197e12  # v5e MXU peak, bf16 FLOP/s (for the forward-MFU line)
 
 
 def _flagship_cfg():
@@ -95,11 +96,11 @@ def measure_tpu():
             jnp.array(joints))
     # NB: on the axon relay backend block_until_ready() returns before execution
     # finishes; a host fetch is the only reliable fence, so time through np.asarray.
-    def run(steps):
+    def run(steps, f=fn, a=args):
         acc = None
         for _ in range(steps):
-            preds, maxvals = fn(*args)
-            s = preds.sum() + maxvals.sum()
+            out = f(*a)
+            s = sum(o.sum() for o in out) if isinstance(out, tuple) else out.sum()
             acc = s if acc is None else acc + s
         return float(acc)     # one host fetch fences the whole dependency chain
 
@@ -108,7 +109,25 @@ def measure_tpu():
     t0 = time.perf_counter()
     run(STEPS)
     dt = time.perf_counter() - t0
-    return B * STEPS / dt, jax.devices()[0].platform
+    e2e_cps = B * STEPS / dt
+
+    # forward-only: same batch through just the model, for the MFU line
+    x6 = jnp.zeros((B, img_h, img_w, 6), jnp.bfloat16)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False).astype(jnp.float32))
+    fargs = (variables, x6)
+    run(1, fwd, fargs)
+    run(3, fwd, fargs)
+    t0 = time.perf_counter()
+    run(STEPS, fwd, fargs)
+    fdt = time.perf_counter() - t0
+    fwd_cps = B * STEPS / fdt
+    try:
+        flops = float(jax.jit(lambda v, x: model.apply(v, x, train=False))
+                      .lower(variables, x6).compile().cost_analysis()["flops"])
+        mfu = flops * (STEPS / fdt) / V5E_BF16_PEAK
+    except Exception:
+        mfu = float("nan")
+    return e2e_cps, fwd_cps, mfu, jax.devices()[0].platform
 
 
 def measure_torch_cpu():
@@ -171,7 +190,7 @@ def measure_torch_cpu():
 
 
 def main():
-    tpu_cps, platform = measure_tpu()
+    tpu_cps, fwd_cps, mfu, platform = measure_tpu()
     try:
         torch_cps = measure_torch_cpu()
     except Exception as e:  # baseline must not sink the bench
@@ -183,6 +202,9 @@ def main():
         "value": round(tpu_cps, 2),
         "unit": "crops/s",
         "vs_baseline": round(vs, 2) if vs == vs else None,
+        "forward_crops_per_sec": round(fwd_cps, 2),
+        "forward_mfu": round(mfu, 4) if mfu == mfu else None,
+        "torch_cpu_crops_per_sec": round(torch_cps, 3) if torch_cps == torch_cps else None,
     }))
 
 

@@ -129,6 +129,11 @@ def default_config() -> CN:
     _C.TRAIN.BATCH_SIZE_PER_GPU = 32
     _C.TRAIN.SHUFFLE = True
     _C.TRAIN.USE_BU_BBOX = True
+    # cutmix/mixup double-target training (reference lib/core/train.py:179-343;
+    # its MIPNet-era loops had no cfg keys — the mixed loader lived outside the
+    # repo — so these knobs are ours): '' | 'cutmix' | 'mixup', Beta(α, α) draw.
+    _C.TRAIN.MIX = ""
+    _C.TRAIN.MIX_ALPHA = 1.0
 
     _C.TEST = CN()
     _C.TEST.BATCH_SIZE_PER_GPU = 32
@@ -147,6 +152,9 @@ def default_config() -> CN:
     _C.TEST.MODEL_FILE = ""
     _C.TEST.BBOX_FRACTION = 1.0
     _C.TEST.DECAY_THRE = 0.5
+    # run the legacy λ∈{0,1} sweep (validate_lambda_quantitative) instead of the
+    # plain validate loop; ours only — the reference never plumbs it to a CLI
+    _C.TEST.LAMBDA_SWEEP = False
     _C.TEST.SCALE_THRE = 1.25
     _C.TEST.USE_DARK = False
     _C.TEST.REFINE_ITERS = 1  # 3x iterative refinement as an in-process loop
@@ -172,6 +180,9 @@ def default_config() -> CN:
     # run warp/render/target on-device per batch (data/device_pipeline.py) instead
     # of per-sample cv2 on the host
     _C.TPU.DEVICE_PIPELINE = False
+    # rotated-warp engine for the device pipeline: 'matmul' (banded-matmul,
+    # HBM weight tensors) or 'pallas' (on-the-fly VMEM weights) — ops/warp.py
+    _C.TPU.WARP_ENGINE = "matmul"
 
     return _C
 

@@ -188,6 +188,127 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
     return name_values, perf
 
 
+def make_validate_lambda_step(cfg, model, flip_pairs, mesh=None, use_lambda=True):
+    """One jitted λ-conditioned eval step (legacy lib/core/validate.py:199-229).
+
+    Differences from the active protocol on purpose: the legacy loop flips the
+    WHOLE input spatially (``input.flip(3)``, validate.py:210) — it predates
+    flip_hm, so the condition channels are mirrored, never re-rendered.
+
+    use_lambda=False skips the model's λ head (for checkpoints without one —
+    every model actually IN the reference repo ignores λ; only the score
+    bookkeeping differs between the two passes then).
+    """
+    J = int(cfg.MODEL.NUM_JOINTS)
+    perm = np.asarray(flip_pairs_to_perm(J, flip_pairs))
+    hm_w, hm_h = int(cfg.MODEL.HEATMAP_SIZE[0]), int(cfg.MODEL.HEATMAP_SIZE[1])
+    flip_test = bool(cfg.TEST.FLIP_TEST)
+    shift = bool(cfg.TEST.SHIFT_HEATMAP)
+    post_process = bool(cfg.TEST.POST_PROCESS)
+    use_dark = bool(cfg.TEST.USE_DARK)
+    loss_fn = make_loss(cfg)
+
+    def apply(variables, x, lambda_vec):
+        if use_lambda:
+            return model.apply(variables, x, train=False, lambda_vec=lambda_vec)
+        return model.apply(variables, x, train=False)
+
+    def step(variables, batch, lambda_vec):
+        x = batch["input"]
+        B = x.shape[0]
+        if flip_test:
+            xf = x[:, :, ::-1, :]            # plain flip, cond channels included
+            out_all = apply(variables, jnp.concatenate([x, xf], 0),
+                            jnp.concatenate([lambda_vec] * 2, 0))
+            out, out_f = out_all[:B], out_all[B:]
+            out_f = out_f[:, :, ::-1, :][..., perm]            # flip_back
+            if shift:
+                out_f = out_f.at[:, :, 1:, :].set(out_f[:, :, :-1, :])
+            out = (out + out_f) * 0.5
+        else:
+            out = apply(variables, x, lambda_vec)
+        loss = loss_fn(out, batch["target"], batch["target_weight"])
+        out_jchw = out.transpose(0, 3, 1, 2)
+        acc, cnt, _ = pck_accuracy(out_jchw, batch["target"].transpose(0, 3, 1, 2))
+        preds, maxvals = get_final_preds(out_jchw, batch["center"], batch["scale"],
+                                         (hm_w, hm_h), post_process=post_process,
+                                         use_dark=use_dark)
+        return preds, maxvals, loss, acc, cnt
+
+    if mesh is None:
+        return jax.jit(step)
+    from ..parallel.mesh import data_sharding, replicated_sharding
+    repl, data = replicated_sharding(mesh), data_sharding(mesh)
+    return jax.jit(step, in_shardings=(repl, data, data),
+                   out_shardings=(data, data, repl, repl, repl))
+
+
+def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
+                                 output_dir, epoch=-1, mesh=None, writer=None,
+                                 print_prefix="", lambda_vals=(0, 1)):
+    """λ-sweep evaluation (lib/core/validate.py:175-333): every batch is evaluated
+    once per λ with lambda_vec = [λ, 1-λ]; λ=0 scores decay by TEST.DECAY_THRE
+    (:245-250); all_boxes grows an 8th column carrying λ (:263) so
+    dataset.evaluate dispatches to the per-mode + oks_merge evaluation."""
+    losses, acc = AverageMeter(), AverageMeter()
+    use_lambda = "lambda_fc" in variables.get("params", {})
+    step = make_validate_lambda_step(cfg, model, val_dataset.flip_pairs, mesh=mesh,
+                                     use_lambda=use_lambda)
+
+    lambda_vals = list(lambda_vals)
+    num_samples = len(lambda_vals) * len(val_dataset)
+    all_preds = np.zeros((num_samples, int(cfg.MODEL.NUM_JOINTS), 3), np.float32)
+    all_boxes = np.zeros((num_samples, 8))
+    image_path = []
+    idx = 0
+
+    for i, batch in enumerate(val_loader):
+        dev_batch = {k: batch[k] for k in
+                     ("input", "target", "target_weight", "center", "scale")}
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            dev_batch = shard_batch(dev_batch, mesh)
+        B = batch["input"].shape[0]
+        n = int(batch["valid"].sum())
+        for lam in lambda_vals:
+            lambda_vec = jnp.concatenate(
+                [jnp.full((B, 1), float(lam), jnp.float32),
+                 jnp.full((B, 1), 1.0 - float(lam), jnp.float32)], axis=1)
+            preds, maxvals, loss, a, cnt = step(variables, dev_batch, lambda_vec)
+            preds, maxvals = np.asarray(preds), np.asarray(maxvals)
+            losses.update(float(loss), n)
+            acc.update(float(a), int(cnt))
+
+            # λ=0 predictions keep a decayed box score (validate.py:245-250)
+            score = batch["score"][:n] * (cfg.TEST.DECAY_THRE if lam == 0 else 1.0)
+            c, s = batch["center"], batch["scale"]
+            all_preds[idx:idx + n, :, 0:2] = preds[:n, :, 0:2]
+            all_preds[idx:idx + n, :, 2:3] = maxvals[:n]
+            all_boxes[idx:idx + n, 0:2] = c[:n, 0:2]
+            all_boxes[idx:idx + n, 2:4] = s[:n, 0:2]
+            all_boxes[idx:idx + n, 4] = np.prod(s[:n] * 200, 1)
+            all_boxes[idx:idx + n, 5] = score
+            all_boxes[idx:idx + n, 6] = batch["annotation_id"][:n]
+            all_boxes[idx:idx + n, 7] = float(lam)
+            image_path.extend(batch["image_path"][:n])
+            idx += n
+        if i % cfg.PRINT_FREQ == 0 or i == len(val_loader) - 1:
+            logger.info("Test: [%d/%d]\tLoss %.6f (%.6f)\tAccuracy %.3f (%.3f)",
+                        i, len(val_loader) - 1, losses.val, losses.avg,
+                        acc.val, acc.avg)
+
+    nv, nv0, nv1, perf = val_dataset.evaluate(
+        cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_path, epoch)
+    model_name = type(model).__name__
+    _print_name_value(nv, f"l0,1:{model_name}")    # validate.py:303-306
+    _print_name_value(nv0, f"l0:{model_name}")
+    _print_name_value(nv1, f"l1:{model_name}")
+    if writer is not None:
+        writer.add_scalar("valid_loss", losses.avg)
+        writer.add_scalar("valid_acc", acc.avg)
+    return perf
+
+
 def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
                 mesh=None, writer=None):
     """One training epoch (function.py:102-175).  Returns the new state."""

@@ -332,9 +332,14 @@ class CocoStyleDataset(JointsDataset):
                  *args, **kwargs):
         """Rescoring + OKS-NMS (with bypass rules) + results json + COCOeval.
 
-        preds: (N, J, 3); all_boxes: (N, 7) [cx, cy, sx, sy, area, score, ann_id].
+        preds: (N, J, 3); all_boxes: (N, 7) [cx, cy, sx, sy, area, score, ann_id],
+        or (N, 8) with a trailing λ-mode column from the λ-sweep validation loop —
+        dispatched to evaluate_lambda, as lib/dataset/crowdpose.py:132-133 does.
         Matches lib/dataset/dataloader.py:538-648.
         """
+        if np.asarray(all_boxes).shape[1] == 8:
+            return self.evaluate_lambda(cfg, preds, output_dir, all_boxes,
+                                        img_path, epoch, *args, **kwargs)
         res_folder = os.path.join(output_dir, "results")
         os.makedirs(res_folder, exist_ok=True)
         res_file = os.path.join(
@@ -342,6 +347,20 @@ class CocoStyleDataset(JointsDataset):
         if cfg.OUTPUT_JSON:
             res_file = cfg.OUTPUT_JSON
 
+        oks_nmsed = self._rescore_and_nms(cfg, preds, all_boxes, img_path)
+        self._write_keypoint_results(oks_nmsed, res_file)
+
+        if self.is_train:
+            return {"Null": 0}, 0
+        info = self._do_keypoint_eval(res_file)
+        name_value = OrderedDict(info)
+        return name_value, name_value["AP"]
+
+    def _rescore_and_nms(self, cfg, preds, all_boxes, img_path):
+        """Per-image rescoring (box score x mean kpt conf) + OKS-NMS with the
+        bypass rules — the shared core of evaluate/evaluate_lambda
+        (lib/dataset/dataloader.py:560-634).  Returns a list of per-image
+        kept-keypoint dicts."""
         path_to_id = {}
         for index in self.image_set_index:
             im_ann = self.coco.loadImgs(index)[0]
@@ -399,14 +418,63 @@ class CocoStyleDataset(JointsDataset):
                 keep = []
             oks_nmsed.append(img_kpts if len(keep) == 0
                              else [img_kpts[k] for k in keep])
+        return oks_nmsed
 
-        self._write_keypoint_results(oks_nmsed, res_file)
+    def evaluate_lambda(self, cfg, preds, output_dir, all_boxes, img_path,
+                        epoch=-1, *args, **kwargs):
+        """λ-sweep evaluation: all_boxes is (N, 8), col 7 = λ mode (0 or 1).
+
+        The reference dispatches here (crowdpose.py:132-133) but never DEFINES
+        evaluate_lambda, and oks_merge (nms/nms.py:127-148) is imported by its
+        dataloader yet never called — the λ eval path is dead code upstream.
+        Semantics are reconstructed from the surviving pieces: per-mode rescoring
+        + NMS exactly as the plain evaluate, then a per-image oks_merge (keep all
+        mode-1 detections, add mode-0 detections whose max OKS against mode-1 is
+        <= 0.5), evaluated alongside the individual modes
+        (validate.py:296-306 prints 'l0,1' / 'l0' / 'l1').
+
+        Returns (name_values_merged, name_values_mode0, name_values_mode1, perf).
+        """
+        from ..ops.nms import oks_merge
+
+        all_boxes = np.asarray(all_boxes)
+        modes = all_boxes[:, 7]
+        res_folder = os.path.join(output_dir, "results")
+        os.makedirs(res_folder, exist_ok=True)
+
+        per_mode_nmsed, per_mode_nv = {}, {}
+        for m in (0, 1):
+            sel = modes == m
+            nmsed = self._rescore_and_nms(cfg, np.asarray(preds)[sel],
+                                          all_boxes[sel, :7],
+                                          [p for p, s in zip(img_path, sel) if s])
+            per_mode_nmsed[m] = nmsed
+            res_file = os.path.join(
+                res_folder, f"keypoints_{self.mode}_results_epoch{epoch}_l{m}.json")
+            self._write_keypoint_results(nmsed, res_file)
+            if not self.is_train:
+                per_mode_nv[m] = OrderedDict(self._do_keypoint_eval(res_file))
+
+        # merge: mode-1 wins; OKS-disjoint mode-0 detections are appended
+        sigmas = (np.full(self.num_joints, self.joints_weight / 10.0)
+                  if np.isscalar(self.joints_weight)
+                  else np.asarray(self.joints_weight).ravel() / 10.0)
+        by_img = {m: {kp[0]["image"]: kp for kp in per_mode_nmsed[m] if kp}
+                  for m in (0, 1)}
+        merged = []
+        for img in sorted(set(by_img[0]) | set(by_img[1])):
+            merged.append(oks_merge(by_img[0].get(img, []), by_img[1].get(img, []),
+                                    sigmas=sigmas))
+        res_file = os.path.join(
+            res_folder, f"keypoints_{self.mode}_results_epoch{epoch}_merged.json")
+        if cfg.OUTPUT_JSON:
+            res_file = cfg.OUTPUT_JSON
+        self._write_keypoint_results(merged, res_file)
 
         if self.is_train:
-            return {"Null": 0}, 0
-        info = self._do_keypoint_eval(res_file)
-        name_value = OrderedDict(info)
-        return name_value, name_value["AP"]
+            return {"Null": 0}, {"Null": 0}, {"Null": 0}, 0
+        nv = OrderedDict(self._do_keypoint_eval(res_file))
+        return nv, per_mode_nv[0], per_mode_nv[1], nv["AP"]
 
     def _write_keypoint_results(self, keypoints, res_file):
         cat_id = self._class_to_coco_ind[self.classes[1]]

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import generate_target, warp_affine_rotated
+from ..ops import generate_target
+from ..ops.warp import warp_affine_general
 from .joints_dataset import IMAGENET_MEAN, IMAGENET_STD
 from .pipeline import condition_mode, render_condition
 
@@ -101,7 +102,8 @@ class DeviceLoader:
                       & (ys >= by[:, None, None]) & (ys < (by + bh)[:, None, None]))
             x = x * inside[..., None]
 
-            crops = warp_affine_rotated(x, trans_inv, (img_h, img_w))
+            crops = warp_affine_general(x, trans_inv, (img_h, img_w),
+                                        engine=str(cfg.TPU.WARP_ENGINE))
             crops = jnp.round(crops)  # host path warps uint8 (cv2 rounds); match it
             rgb = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
             if conditional:

@@ -336,11 +336,19 @@ class PoseHRNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, film=None, return_features=False):
+    def __call__(self, x, train: bool = False, film=None, lambda_vec=None,
+                 return_features=False):
         """film=(mu, sigma) (B, C) enables the MIPNet-heritage λ-conditioned FiLM
         modulation of the final features (forward_lamda, pose_hrnet.py:497-540);
         return_features returns the pre-head trunk features (forward_feature,
-        :542-576)."""
+        :542-576).
+
+        lambda_vec (B, 2) is the λ-conditioned call form ``model(input,
+        lambda_vec)`` used by the reference's legacy λ loops (lib/core/
+        train.py:391, validate.py:205-207).  The MIPNet model that consumed it is
+        NOT part of the reference repo, so the embedding head is ours: a small
+        MLP maps λ to the (mu, sigma) FiLM slot, with sigma initialised around 1
+        (zero-init last layer) so an untrained head is a near-identity."""
         if self.spec.use_pre_net:
             assert x.shape[-1] >= 6, "preNet requires RGB + 3-channel condition input"
             x = PreNet(name="_prenet", dtype=self.dtype)(
@@ -349,6 +357,15 @@ class PoseHRNet(nn.Module):
         feats = ys[0]
         if return_features:
             return feats
+        if lambda_vec is not None:
+            assert film is None, "pass film or lambda_vec, not both"
+            C = feats.shape[-1]
+            emb = nn.relu(nn.Dense(C, name="lambda_fc")(lambda_vec))
+            mu = nn.Dense(C, kernel_init=nn.initializers.zeros,
+                          name="lambda_mu")(emb)
+            sigma = 1.0 + nn.Dense(C, kernel_init=nn.initializers.zeros,
+                                   name="lambda_sigma")(emb)
+            film = (mu, sigma)
         if film is not None:
             mu, sigma = film  # out = mu + y * sigma (pose_hrnet.py:531-537)
             feats = mu[:, None, None, :] + feats * sigma[:, None, None, :]

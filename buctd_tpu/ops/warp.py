@@ -231,6 +231,23 @@ def warp_affine_rotated(images: jnp.ndarray, trans_dst2src: jnp.ndarray, out_hw)
     return jax.lax.map(one, (images, t))
 
 
+def warp_affine_general(images, trans_dst2src, out_hw, engine: str = "matmul"):
+    """Rotated-warp engine dispatch — the TPU.WARP_ENGINE knob.
+
+    'matmul': banded-matmul two-pass (warp_affine_rotated) — materializes the
+    (H, W, ow) weight tensors in HBM.
+    'pallas': pallas kernel building the 2-tap weights on the fly in VMEM
+    (ops/pallas_warp.py) — one HBM read of the source + one write of the output.
+    Both implement cv2 INTER_LINEAR + BORDER_CONSTANT(0) two-pass semantics.
+    """
+    if engine == "pallas":
+        from .pallas_warp import warp_affine_pallas
+        return warp_affine_pallas(images, trans_dst2src, out_hw)
+    if engine == "matmul":
+        return warp_affine_rotated(images, trans_dst2src, out_hw)
+    raise ValueError(f"unknown warp engine {engine!r} (want matmul|pallas)")
+
+
 def _axis_taps(coord, in_size):
     """Bilinear tap-weight matrix (..., out, in): relu(1 - |src - idx|).
 

@@ -25,8 +25,10 @@ def initialize_distributed(coordinator_address: str | None = None,
     No-ops (returns False) in single-process runs: on Cloud TPU the arguments are
     auto-detected from the metadata server, elsewhere from the JAX_* env vars.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NB: must not touch the backend (jax.devices/process_count) before
+    # jax.distributed.initialize — that would pin a single-process runtime
+    if jax.distributed.is_initialized():
+        return True
     env_says_multi = (coordinator_address
                       or os.environ.get("JAX_COORDINATOR_ADDRESS")
                       or os.environ.get("COORDINATOR_ADDRESS"))

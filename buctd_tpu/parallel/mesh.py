@@ -41,8 +41,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays batch-sharded over the mesh's data axis."""
+    """Place a pytree of host arrays batch-sharded over the mesh's data axis.
+
+    Multi-host: each process passes its LOCAL batch rows (its process_shard of the
+    global batch); ``make_array_from_process_local_data`` assembles the global
+    sharded array without any cross-host data movement (rows stay on the host
+    that loaded them; only metadata is exchanged).
+    """
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -153,8 +153,56 @@ def make_train_step_double(cfg, model, mesh=None):
         (loss, (out, new_bs)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_bs)
+        # reference quirk: both accuracies are computed but acc.update uses the
+        # LAST one — the background target's (train.py:224-228)
         acc, cnt, _ = pck_accuracy(out.transpose(0, 3, 1, 2),
-                                   batch["target_f"].transpose(0, 3, 1, 2))
+                                   batch["target_b"].transpose(0, 3, 1, 2))
+        return new_state, {"loss": loss, "acc": acc, "cnt": cnt}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = replicated_sharding(mesh)
+    data = data_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl), donate_argnums=0)
+
+
+def make_train_step_mixed(cfg, model, mesh=None):
+    """cutmix/mixup train step: on-device batch mixing + λ-weighted double loss.
+
+    Takes a PLAIN batch (input, target, target_weight); the mixed double-target
+    batch is constructed inside the jit (train/mixing.py) so splice/blend, the λ
+    draw, and both losses are one fused program — the reference instead pre-mixes
+    in CPU dataloader workers and ships 7-tuples (lib/core/train.py:179-343).
+    """
+    from .mixing import make_mix_fn
+
+    mix_fn = make_mix_fn(cfg)
+    if mix_fn is None:
+        raise ValueError("TRAIN.MIX must be 'cutmix' or 'mixup' for the mixed step")
+    loss_fn = make_loss(cfg)
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        mix_rng, dropout_rng = jax.random.split(rng)
+        mixed = mix_fn(mix_rng, batch)
+
+        def compute_loss(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                mixed["input"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            w_f = mixed["target_weight_f"] * mixed["lambda_f"][:, None]
+            w_b = mixed["target_weight_b"] * mixed["lambda_b"][:, None]
+            loss = (loss_fn(out, mixed["target_f"], w_f)
+                    + loss_fn(out, mixed["target_b"], w_b))
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        acc, cnt, _ = pck_accuracy(out.transpose(0, 3, 1, 2),
+                                   mixed["target_b"].transpose(0, 3, 1, 2))
         return new_state, {"loss": loss, "acc": acc, "cnt": cnt}
 
     if mesh is None:

@@ -79,6 +79,42 @@ def test_test_cli_with_refinement(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_cutmix(tmp_path):
+    """TRAIN.MIX=cutmix drives the on-device mixed double-target step end-to-end."""
+    ann_file, _ = _tiny_coco(tmp_path)
+    r = _run("train.py", tmp_path, ann_file, [
+        "TRAIN.END_EPOCH", "1", "TRAIN.BATCH_SIZE_PER_GPU", "4",
+        "TEST.BATCH_SIZE_PER_GPU", "4", "EPOCH_EVAL_FREQ", "1",
+        "DATASET.SYNTHESIS_POSE", "False", "TRAIN.USE_BU_BBOX", "True",
+        "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
+        "TRAIN.MIX", "cutmix", "TRAIN.MIX_ALPHA", "1.0",
+    ])
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "cutmix training" in r.stderr + r.stdout
+    out_dir = tmp_path / "out" / "coco" / "pose_hrnet" / "w32_384x288_adam_lr1e-3"
+    assert (out_dir / "final_state").exists()
+
+
+@pytest.mark.slow
+def test_test_cli_lambda_sweep(tmp_path):
+    """TEST.LAMBDA_SWEEP runs the λ∈{0,1} double eval + oks_merge evaluation."""
+    ann_file, _ = _tiny_coco(tmp_path)
+    r = _run("test.py", tmp_path, ann_file, [
+        "TEST.BATCH_SIZE_PER_GPU", "4", "TEST.USE_BU_BBOX", "True",
+        "TEST.USE_GT_BBOX", "False", "TEST.FLIP_TEST", "True",
+        "TEST.POST_PROCESS", "True", "TEST.LAMBDA_SWEEP", "True",
+        "DATASET.SYNTHESIS_POSE", "False",
+    ])
+    assert r.returncode == 0, r.stderr[-4000:]
+    out_dir = tmp_path / "out" / "coco" / "pose_hrnet" / "w32_384x288_adam_lr1e-3"
+    res = out_dir / "results"
+    for suffix in ("l0", "l1", "merged"):
+        assert (res / f"keypoints_test_results_epoch0_{suffix}.json").exists(), \
+            r.stderr[-2000:]
+    assert "l0,1:" in r.stderr + r.stdout
+
+
+@pytest.mark.slow
 def test_convert_cli_roundtrip(tmp_path):
     """tools/convert.py: torch .pth -> orbax -> load -> output parity."""
     import numpy as np

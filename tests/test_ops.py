@@ -307,6 +307,24 @@ def test_crop_images_rotated_path():
     assert np.isfinite(out).all() and out.max() > 0
 
 
+def test_warp_engine_dispatch():
+    """TPU.WARP_ENGINE knob: 'matmul' routes to the banded-matmul engine;
+    unknown names fail loudly."""
+    from buctd_tpu.geometry import make_affine
+    from buctd_tpu.ops import warp_affine_rotated
+    from buctd_tpu.ops.warp import warp_affine_general
+
+    rng = np.random.RandomState(2)
+    img = jnp.array(rng.rand(1, 64, 64, 3).astype(np.float32))
+    t = jnp.array(make_affine(np.array([32.0, 32.0]), np.array([0.3, 0.3]),
+                              20.0, (32, 32), inv=True)[None])
+    want = np.asarray(warp_affine_rotated(img, t, (32, 32)))
+    got = np.asarray(warp_affine_general(img, t, (32, 32), engine="matmul"))
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError):
+        warp_affine_general(img, t, (32, 32), engine="nope")
+
+
 def test_pallas_warp_matches_matmul_engine():
     """Pallas rotated-warp kernel (interpret mode on CPU) vs the banded-matmul
     engine: identical two-pass semantics."""

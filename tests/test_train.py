@@ -211,6 +211,102 @@ def test_double_target_train_step():
     assert int(state2.step) == 1 and np.isfinite(float(metrics["loss"]))
 
 
+def _plain_batch(B=8, rng=None):
+    rng = rng or np.random.RandomState(0)
+    return {
+        "input": rng.rand(B, 64, 64, 3).astype(np.float32),
+        "target": rng.rand(B, 16, 16, 17).astype(np.float32),
+        "target_weight": np.ones((B, 17), np.float32),
+    }
+
+
+def test_mixup_batch_oracle():
+    """mixup = λ·x_f + (1-λ)·roll(x_f); targets are NOT mixed (train.py:205-214)."""
+    from buctd_tpu.train.mixing import mixup_batch
+    batch = _plain_batch()
+    key = jax.random.PRNGKey(3)
+    mixed = jax.jit(lambda k, b: mixup_batch(k, b, 1.0))(key, batch)
+    lam = np.asarray(mixed["lambda_f"])
+    assert ((lam > 0) & (lam < 1)).all()
+    np.testing.assert_allclose(lam + np.asarray(mixed["lambda_b"]), 1.0, atol=1e-6)
+    want = (lam[:, None, None, None] * batch["input"]
+            + (1 - lam)[:, None, None, None] * np.roll(batch["input"], 1, axis=0))
+    np.testing.assert_allclose(np.asarray(mixed["input"]), want, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mixed["target_f"]), batch["target"])
+    np.testing.assert_array_equal(np.asarray(mixed["target_b"]),
+                                  np.roll(batch["target"], 1, axis=0))
+
+
+def test_cutmix_batch_oracle():
+    """cutmix pastes one axis-aligned box of the rolled neighbour; λ_b = exact
+    pasted pixel fraction."""
+    from buctd_tpu.train.mixing import cutmix_batch
+    batch = _plain_batch()
+    x_f, x_b = batch["input"], np.roll(batch["input"], 1, axis=0)
+    mixed = jax.jit(lambda k, b: cutmix_batch(k, b, 1.0))(jax.random.PRNGKey(7), batch)
+    out = np.asarray(mixed["input"])
+    lam_b = np.asarray(mixed["lambda_b"])
+    np.testing.assert_allclose(np.asarray(mixed["lambda_f"]) + lam_b, 1.0, atol=1e-6)
+    for i in range(out.shape[0]):
+        from_b = np.all(np.isclose(out[i], x_b[i]), axis=-1)  # (H, W) pasted mask
+        from_f = np.all(np.isclose(out[i], x_f[i]), axis=-1)
+        assert (from_b | from_f).all()  # every pixel comes from one of the two
+        np.testing.assert_allclose(lam_b[i], from_b.mean(), atol=1e-2)
+        ys, xs = np.where(from_b)
+        if len(ys):  # pasted region is one solid axis-aligned rectangle
+            assert from_b[ys.min():ys.max() + 1, xs.min():xs.max() + 1].all()
+
+
+def test_mixed_train_step_learns_on_mesh():
+    """cutmix step on the 8-device CPU mesh: runs, loss finite and decreasing
+    (VERDICT item 3 acceptance)."""
+    from buctd_tpu.models import get_model
+    from buctd_tpu.parallel import make_mesh, replicate, shard_batch
+    from buctd_tpu.train.state import create_train_state, make_train_step_mixed
+
+    cfg = _small_cfg([
+        "MODEL.IMAGE_SIZE", "[64, 64]", "MODEL.HEATMAP_SIZE", "[16, 16]",
+        "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+        "TRAIN.MIX", "cutmix", "TRAIN.MIX_ALPHA", "1.0",
+    ])
+    mesh = make_mesh(cfg)
+    model = get_model(cfg)
+    rng = np.random.RandomState(0)
+    from buctd_tpu.ops import generate_target
+    B = 16
+    joints = rng.rand(B, 17, 2).astype(np.float32) * 56 + 4
+    tgt, _ = generate_target(jnp.array(joints), jnp.ones((B, 17)), (64, 64), (16, 16), 2)
+    batch = {
+        "input": rng.rand(B, 64, 64, 3).astype(np.float32),
+        "target": np.asarray(tgt).transpose(0, 2, 3, 1),
+        "target_weight": np.ones((B, 17), np.float32),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), steps_per_epoch=10)
+    state = replicate(state, mesh)
+    step = make_train_step_mixed(cfg, model, mesh)
+    sb = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, sb, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert all(np.isfinite(l) for l in losses)
+    # λ is redrawn per step (folded with state.step) but the net must still fit
+    # the fixed pair of targets on average
+    assert min(losses[2:]) < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_make_mix_fn_dispatch():
+    from buctd_tpu.train.mixing import make_mix_fn
+    assert make_mix_fn(_small_cfg()) is None
+    assert make_mix_fn(_small_cfg(["TRAIN.MIX", "mixup"])) is not None
+    with pytest.raises(ValueError):
+        make_mix_fn(_small_cfg(["TRAIN.MIX", "nope"]))
+
+
 def test_process_shard_single_host():
     from buctd_tpu.parallel import initialize_distributed, process_shard
     assert initialize_distributed() is False  # single-process: no-op

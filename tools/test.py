@@ -81,6 +81,10 @@ def main():
     variables = replicate(variables, mesh)
 
     refine_iters = max(int(cfg.TEST.REFINE_ITERS), 1)
+    if cfg.TEST.LAMBDA_SWEEP and refine_iters > 1:
+        raise ValueError("TEST.LAMBDA_SWEEP writes per-mode/_merged results, "
+                         "which the refinement feedback loop cannot consume; "
+                         "use one or the other")
     user_output_json = cfg.OUTPUT_JSON
     perf = None
     for it in range(refine_iters):
@@ -101,10 +105,20 @@ def main():
             valid_loader = Loader(valid_dataset, cfg,
                                   batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * mesh.size,
                                   num_workers=cfg.WORKERS)
-        name_values, perf = validate(cfg, valid_loader, valid_dataset, model,
-                                     variables, final_output_dir, epoch=it,
-                                     mesh=mesh, writer=writer,
-                                     print_prefix=f"refine{it}")
+        if cfg.TEST.LAMBDA_SWEEP:
+            # λ∈{0,1} double eval + DECAY_THRE rescoring + oks_merge of the two
+            # modes (legacy lib/core/validate.py:175-333; not CLI-reachable in
+            # the reference — wired here behind a flag)
+            from buctd_tpu.core.function import validate_lambda_quantitative
+            perf = validate_lambda_quantitative(
+                cfg, valid_loader, valid_dataset, model, variables,
+                final_output_dir, epoch=it, mesh=mesh, writer=writer,
+                print_prefix=f"refine{it}")
+        else:
+            name_values, perf = validate(cfg, valid_loader, valid_dataset, model,
+                                         variables, final_output_dir, epoch=it,
+                                         mesh=mesh, writer=writer,
+                                         print_prefix=f"refine{it}")
         logger.info("=> refinement round %d: AP %.4f", it, perf)
         if it < refine_iters - 1:
             # feed this round's results back as next round's conditions

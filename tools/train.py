@@ -32,6 +32,18 @@ def parse_args():
     parser.add_argument("--dataDir", type=str, default="")
     parser.add_argument("--prevModelDir", type=str, default="")
     parser.add_argument("--seed", type=int, default=22)
+    # multi-host launch (pod slice / multi-process CPU): run the SAME command on
+    # every host with --coordinator <host0-ip:port> --num-processes N
+    # --process-id <rank>; on Cloud TPU the three are auto-detected and none are
+    # needed (buctd_tpu/parallel/distributed.py).  Example 2-process CPU run:
+    #   python tools/train.py --cfg C --coordinator localhost:9876 \
+    #       --num-processes 2 --process-id 0 &
+    #   python tools/train.py --cfg C --coordinator localhost:9876 \
+    #       --num-processes 2 --process-id 1
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num-processes", dest="num_processes", type=int,
+                        default=None)
+    parser.add_argument("--process-id", dest="process_id", type=int, default=None)
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="Modify config options using the command-line")
     return parser.parse_args()
@@ -69,6 +81,10 @@ def main():
     cfg = default_config()
     update_config(cfg, args)
     set_seed(args.seed)
+
+    # multi-host first: jax.distributed must connect before any device query
+    from buctd_tpu.parallel import initialize_distributed
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
 
     logger, final_output_dir, tb_log_dir = create_logger(cfg, args.cfg, "train")
     logger.info(pprint.pformat(cfg))
@@ -120,7 +136,15 @@ def main():
             logger.info("=> auto-resumed at epoch %d", begin_epoch)
 
     state = replicate(state, mesh)
-    train_step = make_train_step(cfg, model, mesh)
+    if cfg.TRAIN.MIX:
+        # cutmix/mixup: on-device batch mixing + λ-weighted double loss
+        # (reference lib/core/train.py:179-343 semantics)
+        from buctd_tpu.train.state import make_train_step_mixed
+        train_step = make_train_step_mixed(cfg, model, mesh)
+        logger.info("=> %s training (alpha=%.2f)", cfg.TRAIN.MIX,
+                    cfg.TRAIN.MIX_ALPHA)
+    else:
+        train_step = make_train_step(cfg, model, mesh)
 
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
         state, train_rng = train_epoch(cfg, train_loader, model, state, train_step,
