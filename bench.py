@@ -80,10 +80,15 @@ def measure_tpu():
         # source -> crop frame: warp RGB and condition joints with the same affine
         # (axis-aligned two-matmul path: eval/inference crops always have rot=0)
         t_inv = make_affine_jax(centers, scales, zeros, (img_w, img_h), inv=True)
-        crops = warp_affine_aligned(images, t_inv, (img_h, img_w))
+        # 'default' (bf16-pass) matmul precision: the model quantizes its input
+        # to bf16 anyway, so the extra f32 warp/render precision is discarded —
+        # measured 0.00 px decode drift, +3.4% e2e (tools/bench_precision.py)
+        crops = warp_affine_aligned(images, t_inv, (img_h, img_w),
+                                    precision="default")
         t_fwd = make_affine_jax(centers, scales, zeros, (img_w, img_h), inv=False)
         cond_crop = affine_points_jax(cond_src, t_fwd)
-        cond_img = render_condition_colored(cond_crop, colors, (img_h, img_w)) / 255.0
+        cond_img = render_condition_colored(cond_crop, colors, (img_h, img_w),
+                                            precision="default") / 255.0
         x = jnp.concatenate([(crops - mean) / std, cond_img], axis=-1)
         hm = model.apply(variables, x, train=False)          # (B, hm_h, hm_w, J)
         hm = hm.astype(jnp.float32).transpose(0, 3, 1, 2)    # decode wants (B, J, h, w)

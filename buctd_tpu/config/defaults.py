@@ -180,9 +180,10 @@ def default_config() -> CN:
     # run warp/render/target on-device per batch (data/device_pipeline.py) instead
     # of per-sample cv2 on the host
     _C.TPU.DEVICE_PIPELINE = False
-    # rotated-warp engine for the device pipeline: 'matmul' (banded-matmul,
-    # HBM weight tensors) or 'pallas' (on-the-fly VMEM weights) — ops/warp.py
-    _C.TPU.WARP_ENGINE = "matmul"
+    # rotated-warp engine for the device pipeline: 'auto' (pallas on TPU —
+    # measured 6% faster than matmul on v5e — matmul elsewhere), 'matmul'
+    # (banded-matmul, HBM weight tensors), 'pallas' (on-the-fly VMEM weights)
+    _C.TPU.WARP_ENGINE = "auto"
 
     return _C
 

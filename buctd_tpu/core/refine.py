@@ -71,6 +71,11 @@ def make_refine_fn(cfg, model, kpt_colors, n_iters: int = 3):
     post = bool(cfg.TEST.POST_PROCESS)
     use_dark = bool(cfg.TEST.USE_DARK)
     colors = np.asarray(kpt_colors, np.float32)
+    # warp/render matmul precision follows the model dtype: a bf16 model
+    # quantizes its input anyway, so exact-f32 warps are discarded (0.00 px
+    # decode drift, +3.4% e2e — tools/bench_precision.py); an f32 eval model
+    # keeps the exact path
+    prec = "default" if "bfloat16" in str(cfg.TPU.EVAL_DTYPE) else "highest"
 
     @functools.partial(jax.jit, static_argnames=())
     def refine(variables, image, cond_joints, img_wh=None):
@@ -89,12 +94,14 @@ def make_refine_fn(cfg, model, kpt_colors, n_iters: int = 3):
             center, scale = joints2cs_jax(cond, bw, bh, margin, aspect, scale_thre)
             zeros = jnp.zeros(P)
             t_inv = make_affine_jax(center, scale, zeros, (img_w, img_h), inv=True)
-            crops = warp_affine_aligned(imgs, t_inv, (img_h, img_w))
+            crops = warp_affine_aligned(imgs, t_inv, (img_h, img_w),
+                                        precision=prec)
             t_fwd = make_affine_jax(center, scale, zeros, (img_w, img_h))
             cond_crop = cond.at[..., :2].set(
                 affine_points_jax(cond[..., :2], t_fwd))
             rgb = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-            cond_img = render_condition(cond_crop, mode, (img_h, img_w), colors)
+            cond_img = render_condition(cond_crop, mode, (img_h, img_w), colors,
+                                        precision=prec)
             x = jnp.concatenate([rgb, cond_img], axis=-1)
             hm = model.apply(variables, x, train=False).transpose(0, 3, 1, 2)
             preds, maxvals = get_final_preds(hm, center, scale, (hm_w, hm_h),

@@ -53,12 +53,19 @@ def num_input_channels(cfg) -> int:
     return 6
 
 
-def render_condition(cond_joints, mode: str, out_hw, colors=None):
-    """Dispatch to the three condition encodings (all return (B, H, W, c))."""
+def render_condition(cond_joints, mode: str, out_hw, colors=None,
+                     precision="highest"):
+    """Dispatch to the three condition encodings (all return (B, H, W, c)).
+
+    precision='default' is the serving fast path (bf16 MXU passes) for the
+    colored/stacked renders; the plain render always stays exact (its trunc-to-int
+    amplifies bf16 error to a full intensity level — see ops/heatmap.py).
+    """
     if mode == "stacked":
-        return render_condition_stacked(cond_joints, out_hw)
+        return render_condition_stacked(cond_joints, out_hw, precision=precision)
     if mode == "colored":
-        return render_condition_colored(cond_joints, colors, out_hw)
+        return render_condition_colored(cond_joints, colors, out_hw,
+                                        precision=precision)
     return render_condition_plain(cond_joints, out_hw)
 
 

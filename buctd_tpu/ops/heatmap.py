@@ -154,45 +154,49 @@ def _delta_profiles(points, out_hw, ksize, overwrite: bool):
     return ky, kx, keep
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
-def render_condition_colored(cond_joints, colors, out_hw):
+@functools.partial(jax.jit, static_argnames=("out_hw", "precision"))
+def render_condition_colored(cond_joints, colors, out_hw, precision="highest"):
     """3-channel rainbow condition image (get_condition_image_colored).
 
     cond_joints: (B, J, 2+); colors: (J, 3) uint/float; out_hw: static (H, W).
     Returns (B, H, W, 3) float32, peak-normalized to 255 across all channels.
+
+    precision: 'highest' (exact f32, the parity default) or 'default' (bf16 MXU
+    passes — serving fast path; see warp_affine_aligned).  The contraction is
+    color-weighted first (bjh,jc->bjhc) so the j-reduction is a small batched
+    GEMM instead of materializing a (B, J, H, W) intermediate in HBM.
     """
     colors = jnp.asarray(colors, jnp.float32)
     ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=True)
-    canvas = jnp.einsum("bjh,bjw,jc->bhwc", ky, kx, colors,
-                        precision=jax.lax.Precision.HIGHEST)
+    kyc = jnp.einsum("bjh,jc->bjhc", ky, colors, precision=precision)
+    canvas = jnp.einsum("bjhc,bjw->bhwc", kyc, kx, precision=precision)
     am = jnp.max(canvas, axis=(1, 2, 3), keepdims=True)
     return jnp.where(am == 0, canvas, canvas * (255.0 / am))
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
-def render_condition_stacked(cond_joints, out_hw):
+@functools.partial(jax.jit, static_argnames=("out_hw", "precision"))
+def render_condition_stacked(cond_joints, out_hw, precision="highest"):
     """J-channel condition: one blurred point per channel (get_stacked_condition).
 
     Each channel is blurred and peak-normalized independently, as the reference calls
     generate_heatmap per joint.  Returns (B, H, W, J) float32.
     """
     ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=False)
-    canvas = jnp.einsum("bjh,bjw->bhwj", ky, kx,
-                        precision=jax.lax.Precision.HIGHEST) * 255.0
+    canvas = jnp.einsum("bjh,bjw->bhwj", ky, kx, precision=precision) * 255.0
     am = jnp.max(canvas, axis=(1, 2), keepdims=True)
     return jnp.where(am == 0, canvas, canvas * (255.0 / am))
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
-def render_condition_plain(cond_joints, out_hw):
+@functools.partial(jax.jit, static_argnames=("out_hw", "precision"))
+def render_condition_plain(cond_joints, out_hw, precision="highest"):
     """1-channel condition replicated x3 (get_condition_image).
 
     The reference casts the final map to int (JointsDataset.py:514) — reproduced with a
-    trunc.  Returns (B, H, W, 3) float32 (integer-valued).
+    trunc.  NB 'default' (bf16) precision is unsafe HERE: the trunc-to-int after
+    peak-normalization amplifies sub-intensity error to a full level.
     """
     ky, kx, _ = _delta_profiles(cond_joints[..., :2], out_hw, 15, overwrite=True)
-    canvas = jnp.einsum("bjh,bjw->bhw", ky, kx,
-                        precision=jax.lax.Precision.HIGHEST) * 255.0
+    canvas = jnp.einsum("bjh,bjw->bhw", ky, kx, precision=precision) * 255.0
     am = jnp.max(canvas, axis=(1, 2), keepdims=True)
     hm = jnp.trunc(jnp.where(am == 0, canvas, canvas * (255.0 / am)))
     return jnp.repeat(hm[..., None], 3, axis=-1)

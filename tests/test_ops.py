@@ -321,6 +321,9 @@ def test_warp_engine_dispatch():
     want = np.asarray(warp_affine_rotated(img, t, (32, 32)))
     got = np.asarray(warp_affine_general(img, t, (32, 32), engine="matmul"))
     np.testing.assert_array_equal(got, want)
+    # 'auto' resolves to matmul on CPU (pallas needs a real TPU)
+    got_auto = np.asarray(warp_affine_general(img, t, (32, 32), engine="auto"))
+    np.testing.assert_array_equal(got_auto, want)
     with pytest.raises(ValueError):
         warp_affine_general(img, t, (32, 32), engine="nope")
 
