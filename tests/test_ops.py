@@ -307,6 +307,20 @@ def test_crop_images_rotated_path():
     assert np.isfinite(out).all() and out.max() > 0
 
 
+def test_chunked_attention_exact():
+    """Query-chunked attention (models/attention.py eval fast path) is exactly
+    the full computation — each query row's softmax is complete per chunk."""
+    from buctd_tpu.models.attention import _attend, _attend_chunked
+    rng = np.random.RandomState(0)
+    B, h, nq, nk, d = 2, 2, 37, 53, 8      # nq deliberately not chunk-aligned
+    q = jnp.array(rng.randn(B, h, nq, d).astype(np.float32))
+    k = jnp.array(rng.randn(B, h, nk, d).astype(np.float32))
+    v = jnp.array(rng.randn(B, h, nk, d).astype(np.float32))
+    want = np.asarray(_attend(q, k, v, 0.35))
+    got = np.asarray(_attend_chunked(q, k, v, 0.35, chunk=16))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_warp_engine_dispatch():
     """TPU.WARP_ENGINE knob: 'matmul' routes to the banded-matmul engine;
     unknown names fail loudly."""
