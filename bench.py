@@ -22,8 +22,8 @@ from buctd_tpu.utils.compcache import enable as _enable_compcache
 
 _enable_compcache()
 
-B = 256         # crops per step (serving batch; fwd throughput: 500/1030/1220
-                # crops/s at b32/128/256 — MXU fill on the W48 branches)
+B = 384         # crops per step (serving batch): fwd 903/1172/883 crops/s at
+                # b256/384/512 — 384 tiles the W48 branches best; 512 spills
 STEPS = 10      # timed steps
 SRC_HW = 512    # synthetic source image side
 N_TORCH = 20    # baseline crops to time
