@@ -225,6 +225,65 @@ def test_tiny_coco_end_to_end_eval(tmp_path):
     assert ap == pytest.approx(1.0, abs=1e-6), name_value
 
 
+@pytest.mark.parametrize("name,J", [("multimouse", 12), ("fish", 7),
+                                    ("marmosets", 15)])
+def test_animal_dataset_end_to_end_eval(tmp_path, name, J):
+    """DLC animal datasets: db build -> perfect preds -> AP == 1.0 under the
+    flat-0.1 OKS sigma override (reference multimouse.py:97 / fish.py:89 /
+    marmosets.py:97)."""
+    ann_file, gt = _tiny_coco(tmp_path, J=J)
+    cfg = _cfg(["DATASET.DATASET", name, "MODEL.NUM_JOINTS", str(J),
+                "MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
+                "DATASET.SYNTHESIS_POSE", "False",
+                "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
+                "DATASET.TEST_IMAGE_DIR", str(tmp_path),
+                "DATASET.TEST_ANNOTATION_FILE", ann_file])
+    from buctd_tpu.data import get_dataset
+    ds = get_dataset(cfg, is_train=False)
+    assert len(ds.db) == 4
+    np.testing.assert_array_equal(ds.oks_sigmas, np.full(J, 0.1))
+
+    preds, boxes, paths = [], [], []
+    for rec, ann in zip(ds.db, gt["annotations"]):
+        kp = np.array(ann["keypoints"], np.float64).reshape(-1, 3)
+        kp[:, 2] = 0.9
+        preds.append(kp)
+        c, s = rec["center"], rec["scale"]
+        boxes.append([c[0], c[1], s[0], s[1], np.prod(np.asarray(s) * 200),
+                      rec.get("score", 1), ann["id"]])
+        paths.append(rec["image"])
+    name_value, ap = ds.evaluate(cfg, np.array(preds), str(tmp_path),
+                                 np.array(boxes), paths)
+    assert ap == pytest.approx(1.0, abs=1e-6), name_value
+
+
+def test_ochuman_dataset_end_to_end_eval(tmp_path):
+    """OCHuman (COCO-17 skeleton, inherited eval path) — the 3x-refinement
+    headline dataset (README.md:104)."""
+    ann_file, gt = _tiny_coco(tmp_path)
+    cfg = _cfg(["DATASET.DATASET", "ochuman",
+                "MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
+                "DATASET.SYNTHESIS_POSE", "False",
+                "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
+                "DATASET.TEST_IMAGE_DIR", str(tmp_path),
+                "DATASET.TEST_ANNOTATION_FILE", ann_file])
+    from buctd_tpu.data import get_dataset
+    ds = get_dataset(cfg, is_train=False)
+    assert len(ds.db) == 4 and len(ds.flip_pairs) == 8
+    preds, boxes, paths = [], [], []
+    for rec, ann in zip(ds.db, gt["annotations"]):
+        kp = np.array(ann["keypoints"], np.float64).reshape(-1, 3)
+        kp[:, 2] = 0.9
+        preds.append(kp)
+        c, s = rec["center"], rec["scale"]
+        boxes.append([c[0], c[1], s[0], s[1], np.prod(np.asarray(s) * 200),
+                      rec.get("score", 1), ann["id"]])
+        paths.append(rec["image"])
+    _, ap = ds.evaluate(cfg, np.array(preds), str(tmp_path),
+                        np.array(boxes), paths)
+    assert ap == pytest.approx(1.0, abs=1e-6)
+
+
 def test_synthesis_train_db(tmp_path):
     """Training db with generative sampling: cond seeded from GT and synthesized."""
     ann_file, _ = _tiny_coco(tmp_path, cond=False)
