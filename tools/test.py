@@ -105,20 +105,22 @@ def main():
             valid_loader = Loader(valid_dataset, cfg,
                                   batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * mesh.size,
                                   num_workers=cfg.WORKERS)
-        if cfg.TEST.LAMBDA_SWEEP:
-            # λ∈{0,1} double eval + DECAY_THRE rescoring + oks_merge of the two
-            # modes (legacy lib/core/validate.py:175-333; not CLI-reachable in
-            # the reference — wired here behind a flag)
-            from buctd_tpu.core.function import validate_lambda_quantitative
-            perf = validate_lambda_quantitative(
-                cfg, valid_loader, valid_dataset, model, variables,
-                final_output_dir, epoch=it, mesh=mesh, writer=writer,
-                print_prefix=f"refine{it}")
-        else:
-            name_values, perf = validate(cfg, valid_loader, valid_dataset, model,
-                                         variables, final_output_dir, epoch=it,
-                                         mesh=mesh, writer=writer,
-                                         print_prefix=f"refine{it}")
+        from buctd_tpu.utils.profiler import trace_context
+        with trace_context():   # BUCTD_PROFILE_DIR=/path captures a device trace
+            if cfg.TEST.LAMBDA_SWEEP:
+                # λ∈{0,1} double eval + DECAY_THRE rescoring + oks_merge of the
+                # two modes (legacy lib/core/validate.py:175-333; not
+                # CLI-reachable in the reference — wired here behind a flag)
+                from buctd_tpu.core.function import validate_lambda_quantitative
+                perf = validate_lambda_quantitative(
+                    cfg, valid_loader, valid_dataset, model, variables,
+                    final_output_dir, epoch=it, mesh=mesh, writer=writer,
+                    print_prefix=f"refine{it}")
+            else:
+                name_values, perf = validate(cfg, valid_loader, valid_dataset,
+                                             model, variables, final_output_dir,
+                                             epoch=it, mesh=mesh, writer=writer,
+                                             print_prefix=f"refine{it}")
         logger.info("=> refinement round %d: AP %.4f", it, perf)
         if it < refine_iters - 1:
             # feed this round's results back as next round's conditions

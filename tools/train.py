@@ -6,6 +6,7 @@ train step, orbax checkpoints, device-side batch preprocessing.
 """
 
 import argparse
+import contextlib
 import os
 import pprint
 
@@ -146,9 +147,14 @@ def main():
     else:
         train_step = make_train_step(cfg, model, mesh)
 
+    from buctd_tpu.utils.profiler import trace_context
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
-        state, train_rng = train_epoch(cfg, train_loader, model, state, train_step,
-                                       epoch, train_rng, mesh=mesh, writer=writer)
+        # BUCTD_PROFILE_DIR=/path captures a jax.profiler device trace of the
+        # first trained epoch (no-op otherwise)
+        with trace_context() if epoch == begin_epoch else contextlib.nullcontext():
+            state, train_rng = train_epoch(cfg, train_loader, model, state,
+                                           train_step, epoch, train_rng,
+                                           mesh=mesh, writer=writer)
 
         perf = 0.0
         if (epoch + 1) % cfg.EPOCH_EVAL_FREQ == 0 or epoch == cfg.TRAIN.END_EPOCH - 1:
