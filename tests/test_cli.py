@@ -79,6 +79,24 @@ def test_test_cli_with_refinement(tmp_path):
 
 
 @pytest.mark.slow
+def test_test_cli_device_pipeline(tmp_path):
+    """tools/test.py with TPU.DEVICE_PIPELINE: the eval DeviceLoader path
+    (host decodes, TPU warps/renders) produces a results json end-to-end."""
+    ann_file, _ = _tiny_coco(tmp_path)
+    r = _run("test.py", tmp_path, ann_file, [
+        "TEST.BATCH_SIZE_PER_GPU", "4", "TEST.USE_BU_BBOX", "True",
+        "TEST.USE_GT_BBOX", "False", "TEST.FLIP_TEST", "True",
+        "TEST.POST_PROCESS", "True", "DATASET.SYNTHESIS_POSE", "False",
+        "TPU.DEVICE_PIPELINE", "True",
+    ])
+    assert r.returncode == 0, r.stderr[-4000:]
+    out_dir = tmp_path / "out" / "coco" / "pose_hrnet" / "w32_384x288_adam_lr1e-3"
+    res = out_dir / "results" / "keypoints_test_results_epoch0.json"
+    assert res.exists(), r.stderr[-2000:]
+    assert json.loads(res.read_text())
+
+
+@pytest.mark.slow
 def test_train_cli_cutmix(tmp_path):
     """TRAIN.MIX=cutmix drives the on-device mixed double-target step end-to-end."""
     ann_file, _ = _tiny_coco(tmp_path)
