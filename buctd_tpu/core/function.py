@@ -310,7 +310,7 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
 
 
 def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
-                mesh=None, writer=None):
+                mesh=None, writer=None, output_dir=None):
     """One training epoch (function.py:102-175).  Returns the new state."""
     batch_time, data_time = AverageMeter(), AverageMeter()
     losses, acc = AverageMeter(), AverageMeter()
@@ -343,6 +343,21 @@ def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
             if writer is not None:
                 writer.add_scalar("train_loss", losses.val)
                 writer.add_scalar("train_acc", acc.val)
+            # train debug dumps every-50th epoch (function.py:169-172); the
+            # step returns heatmaps only when DEBUG.DEBUG (train/state.py)
+            if (cfg.DEBUG.DEBUG and "out" in metrics and output_dir
+                    and epoch % 50 == 0):
+                import os as _os
+
+                from ..ops import get_max_preds
+                from ..utils.vis import save_debug_images
+                hm = np.asarray(metrics["out"]).transpose(0, 3, 1, 2)
+                hm_pred, _ = get_max_preds(hm)
+                stride = cfg.MODEL.IMAGE_SIZE[0] / cfg.MODEL.HEATMAP_SIZE[0]
+                prefix = _os.path.join(output_dir, f"train_epoch_{epoch}_iter_{i}")
+                save_debug_images(cfg, batch["input"], batch,
+                                  np.asarray(batch["target"]),
+                                  np.asarray(hm_pred) * stride, hm, prefix)
     return state, rng
 
 

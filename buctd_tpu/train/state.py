@@ -112,7 +112,11 @@ def make_train_step(cfg, model, mesh=None):
         # PCK on (B,J,h,w) layout
         acc, cnt, _ = pck_accuracy(out.transpose(0, 3, 1, 2),
                                    batch["target"].transpose(0, 3, 1, 2))
-        return new_state, {"loss": loss, "acc": acc, "cnt": cnt}
+        metrics = {"loss": loss, "acc": acc, "cnt": cnt}
+        if bool(cfg.DEBUG.DEBUG):
+            # heatmaps flow back only when debug dumps are on (function.py:169-172)
+            metrics["out"] = out
+        return new_state, metrics
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)

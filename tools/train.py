@@ -154,7 +154,8 @@ def main():
         with trace_context() if epoch == begin_epoch else contextlib.nullcontext():
             state, train_rng = train_epoch(cfg, train_loader, model, state,
                                            train_step, epoch, train_rng,
-                                           mesh=mesh, writer=writer)
+                                           mesh=mesh, writer=writer,
+                                           output_dir=final_output_dir)
 
         perf = 0.0
         if (epoch + 1) % cfg.EPOCH_EVAL_FREQ == 0 or epoch == cfg.TRAIN.END_EPOCH - 1:
