@@ -184,6 +184,10 @@ def default_config() -> CN:
     # measured 6% faster than matmul on v5e — matmul elsewhere), 'matmul'
     # (banded-matmul, HBM weight tensors), 'pallas' (on-the-fly VMEM weights)
     _C.TPU.WARP_ENGINE = "auto"
+    # run the generative condition sampler (DATASET.SYNTHESIS_POSE) as one
+    # batched jit on the accelerator instead of ~97 ms/sample host numpy
+    # (data/pose_synthesis_jax.py); distributionally identical
+    _C.TPU.DEVICE_SYNTHESIS = False
 
     return _C
 

@@ -60,13 +60,21 @@ class DeviceLoader:
         self.img_w, self.img_h = int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1])
         self.colors = np.asarray(dataset.kpt_colors, np.float32)
         self.joints_weight = getattr(dataset, "joints_weight", None)
+        self.device_synth = None
+        if (bool(getattr(cfg.TPU, "DEVICE_SYNTHESIS", False)) and self.is_train
+                and getattr(dataset, "synthesis_pose", False)
+                and getattr(dataset, "condition_topdown", False)):
+            from .pose_synthesis_jax import make_synthesize_fn
+            self.device_synth = make_synthesize_fn(cfg)
+            self._synth_step = 0
+            self._synth_seed = seed
 
     # ------------------------------------------------------------------
-    def _host_sample(self, idx):
+    def _host_sample(self, idx, cond_override=None):
         """Per-sample host work — JointsDataset.plan_sample plus device packaging
         (the dict carries the possibly-FLIPPED source view; padding into the
         bucket buffer copies it anyway, so no affine composition is needed)."""
-        plan = self.ds.plan_sample(idx)
+        plan = self.ds.plan_sample(idx, cond_override=cond_override)
         H, W = plan["image"].shape[:2]
         mask_box = (np.array(plan["mask_box"], np.float64)
                     if plan["mask_box"] is not None
@@ -134,7 +142,11 @@ class DeviceLoader:
                     return
                 idxs = np.concatenate([idxs, np.repeat(idxs[-1:],
                                                        self.batch - len(idxs))])
-            samples = list(self.pool.map(self._host_sample, idxs))
+            from .pipeline import device_synthesize_batch
+            conds = device_synthesize_batch(self, idxs)
+            samples = list(self.pool.map(
+                lambda a: self._host_sample(a[0], cond_override=a[1]),
+                zip(idxs, conds)))
 
             hb = _bucket(max(s["image"].shape[0] for s in samples))
             wb = _bucket(max(s["image"].shape[1] for s in samples))

@@ -153,8 +153,32 @@ class JointsDataset:
         return center, scale
 
     # ------------------------------------------------------------------
-    def _choose_condition(self, db_rec, joints, joints_vis):
-        """Condition selection rules (JointsDataset.py:165-215)."""
+    def synthesis_seed(self, db_rec):
+        """Batch-level inputs for the DEVICE synthesis engine
+        (pose_synthesis_jax): (joints, seed_cond, near, area) for one record,
+        mirroring the host path's seed selection below.  The seed is GT unless a
+        per-model condition dict is present (then a random key, as at :186-188)."""
+        joints = np.asarray(db_rec["joints_3d"], np.float64).reshape(-1, 3)
+        cond = db_rec.get("cond_joints")
+        if cond is None or isinstance(cond, dict):
+            # dict conditions + synthesis seed from GT — the host branch order
+            # leaves cond_joints unset for dicts (_choose_condition below)
+            cond = joints.copy()
+        else:
+            cond = np.asarray(cond, np.float64).reshape(-1, 3)
+        nz_x = cond[:, 0][np.nonzero(cond[:, 0])]
+        nz_y = cond[:, 1][np.nonzero(cond[:, 1])]
+        area = ((nz_x.max() - nz_x.min()) * (nz_y.max() - nz_y.min())
+                if len(nz_x) and len(nz_y) else 1.0)
+        near = np.asarray(db_rec.get("near_joints",
+                                     np.zeros((0, self.num_joints, 3))))
+        return joints, cond, near.reshape(-1, self.num_joints, 3), float(area)
+
+    def _choose_condition(self, db_rec, joints, joints_vis, cond_override=None):
+        """Condition selection rules (JointsDataset.py:165-215).
+
+        cond_override: a pre-synthesized (J, 3) condition (from the batched
+        device engine) that replaces the in-place synthesize_pose call."""
         if self.condition_topdown and self.is_train and "cond_joints" not in db_rec:
             assert self.synthesis_pose, (
                 "training without 'cond_kpts' requires DATASET.SYNTHESIS_POSE=True")
@@ -192,19 +216,22 @@ class JointsDataset:
                 # at JointsDataset.py:204); seed from GT like the non-dict path
                 cond_joints = joints.copy()
                 cond_joints_vis = joints_vis.copy()
-            nz_x = cond_joints[:, 0][np.nonzero(cond_joints[:, 0])]
-            nz_y = cond_joints[:, 1][np.nonzero(cond_joints[:, 1])]
-            if len(nz_x) and len(nz_y):
-                area = (nz_x.max() - nz_x.min()) * (nz_y.max() - nz_y.min())
+            if cond_override is not None:
+                cond_joints = np.asarray(cond_override, np.float64)
             else:
-                area = 1.0
-            near = np.asarray(db_rec.get("near_joints",
-                                         np.zeros((0, self.num_joints, 3))))
-            near = near.reshape((-1, self.num_joints, 3))
-            cond_joints = synthesize_pose(
-                self.cfg, np.array(joints).reshape(-1, 3),
-                np.array(cond_joints).reshape(-1, 3),
-                near_joints=near, area=area, num_overlap=0)
+                nz_x = cond_joints[:, 0][np.nonzero(cond_joints[:, 0])]
+                nz_y = cond_joints[:, 1][np.nonzero(cond_joints[:, 1])]
+                if len(nz_x) and len(nz_y):
+                    area = (nz_x.max() - nz_x.min()) * (nz_y.max() - nz_y.min())
+                else:
+                    area = 1.0
+                near = np.asarray(db_rec.get("near_joints",
+                                             np.zeros((0, self.num_joints, 3))))
+                near = near.reshape((-1, self.num_joints, 3))
+                cond_joints = synthesize_pose(
+                    self.cfg, np.array(joints).reshape(-1, 3),
+                    np.array(cond_joints).reshape(-1, 3),
+                    near_joints=near, area=area, num_overlap=0)
             # NB cond_joints_vis intentionally keeps the PRE-synthesis visibility: the
             # reference never refreshes it (:202-215), and it gates which condition
             # joints are transformed into the crop frame (:293-295)
@@ -212,7 +239,7 @@ class JointsDataset:
         return np.asarray(cond_joints, np.float64), np.asarray(cond_joints_vis, np.float64)
 
     # ------------------------------------------------------------------
-    def plan_sample(self, idx, data_numpy=None):
+    def plan_sample(self, idx, data_numpy=None, cond_override=None):
         """All host-side per-sample decisions WITHOUT the warp: condition choice /
         synthesis, BU-bbox, augmentation draws, crop-aug box, affine, and joint
         transforms.  Consumed by get_sample (cv2 warp on host) and by
@@ -230,7 +257,8 @@ class JointsDataset:
         joints_vis = np.asarray(db_rec["joints_3d_vis"], np.float64).copy()
         use_bu_bbox = db_rec.get("use_bu_bbox", False)
 
-        cond_joints, cond_joints_vis = self._choose_condition(db_rec, joints, joints_vis)
+        cond_joints, cond_joints_vis = self._choose_condition(
+            db_rec, joints, joints_vis, cond_override=cond_override)
         has_cond = cond_joints is not None
 
         # BU-derived box from the (possibly synthesized) condition (:218-232).
@@ -327,13 +355,13 @@ class JointsDataset:
             "image_path": image_file,
         }
 
-    def get_sample(self, idx, data_numpy=None):
+    def get_sample(self, idx, data_numpy=None, cond_override=None):
         """One augmented sample with the crop warped on the HOST (cv2), matching the
         reference pipeline exactly.  ``data_numpy`` lets callers inject a pre-decoded
         image (tests, in-memory serving)."""
         import cv2
 
-        plan = self.plan_sample(idx, data_numpy)
+        plan = self.plan_sample(idx, data_numpy, cond_override=cond_override)
         src = plan.pop("image")
         if plan["mask_box"] is not None:
             src = src.copy()

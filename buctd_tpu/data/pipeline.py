@@ -69,6 +69,24 @@ def render_condition(cond_joints, mode: str, out_hw, colors=None,
     return render_condition_plain(cond_joints, out_hw)
 
 
+def device_synthesize_batch(loader, idxs):
+    """One jitted condition synthesis for a whole batch (TPU.DEVICE_SYNTHESIS);
+    shared by Loader and DeviceLoader.  Returns per-sample condition arrays for
+    plan_sample's cond_override, or Nones to keep the host sampler."""
+    if loader.device_synth is None:
+        return [None] * len(idxs)
+    import jax
+
+    seeds = [loader.ds.synthesis_seed(loader.ds.db[i]) for i in idxs]
+    key = jax.random.fold_in(jax.random.PRNGKey(loader._synth_seed),
+                             loader._synth_step)
+    loader._synth_step += 1
+    out = loader.device_synth(
+        key, np.stack([s[0] for s in seeds]), np.stack([s[1] for s in seeds]),
+        [s[2] for s in seeds], np.array([s[3] for s in seeds]))
+    return list(out)
+
+
 def make_input_fn(cfg, colors):
     """Jitted: uint8/float crops + condition joints -> model input (B, H, W, C).
 
@@ -137,10 +155,23 @@ class Loader:
         self.drop_last = drop_last
         self.input_fn = make_input_fn(cfg, dataset.kpt_colors)
         self.target_fn = make_target_fn(cfg, getattr(dataset, "joints_weight", None))
+        self.device_synth = None
+        if (bool(getattr(cfg.TPU, "DEVICE_SYNTHESIS", False)) and self.is_train
+                and getattr(dataset, "synthesis_pose", False)
+                and getattr(dataset, "condition_topdown", False)):
+            # batched accelerator synthesis replaces the ~97 ms/sample host
+            # sampler; plan_sample consumes the result via cond_override
+            from .pose_synthesis_jax import make_synthesize_fn
+            self.device_synth = make_synthesize_fn(cfg)
+            self._synth_step = 0
+            self._synth_seed = seed
 
     def __len__(self):
         n = len(self.ds)
         return n // self.batch if self.drop_last else -(-n // self.batch)
+
+    def _synthesize_batch(self, idxs):
+        return device_synthesize_batch(self, idxs)
 
     def __iter__(self):
         order = np.arange(len(self.ds))
@@ -153,7 +184,10 @@ class Loader:
                     return
                 idxs = np.concatenate([idxs, np.repeat(idxs[-1:],
                                                        self.batch - len(idxs))])
-            samples = list(self.pool.map(self.ds.get_sample, idxs))
+            conds = self._synthesize_batch(idxs)
+            samples = list(self.pool.map(
+                lambda a: self.ds.get_sample(a[0], cond_override=a[1]),
+                zip(idxs, conds)))
             batch = collate(samples)
             batch["valid"] = (np.arange(self.batch) <
                               min(self.batch, len(order) - i)).astype(np.float32)

@@ -257,6 +257,35 @@ def test_animal_dataset_end_to_end_eval(tmp_path, name, J):
     assert ap == pytest.approx(1.0, abs=1e-6), name_value
 
 
+def test_device_synthesis_loader(tmp_path):
+    """TPU.DEVICE_SYNTHESIS: the loader runs the batched jit sampler and feeds
+    plan_sample via cond_override — conditions differ from GT (noise applied)
+    but stay in the crop frame, and batches keep their shapes."""
+    ann_file, _ = _tiny_coco(tmp_path, cond=False)
+    cfg = _cfg(["MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
+                "DATASET.SYNTHESIS_POSE", "True", "TRAIN.USE_BU_BBOX", "True",
+                "DATASET.TRAIN_IMAGE_DIR", str(tmp_path),
+                "DATASET.TRAIN_ANNOTATION_FILE", ann_file,
+                "TPU.DEVICE_SYNTHESIS", "True",
+                "MODEL.IMAGE_SIZE", "[96, 128]", "MODEL.HEATMAP_SIZE", "[24, 32]"])
+    from buctd_tpu.data import get_dataset
+    from buctd_tpu.data.pipeline import Loader
+    ds = get_dataset(cfg, is_train=True)
+    loader = Loader(ds, cfg, batch_size=4, num_workers=2)
+    assert loader.device_synth is not None
+    batch = next(iter(loader))
+    assert batch["input"].shape == (4, 128, 96, 6)
+    # synthesized conditions are crop-frame and mostly differ from GT joints
+    d = np.linalg.norm(batch["cond_joints"][..., :2] - batch["joints"][..., :2],
+                       axis=-1)
+    live = batch["cond_joints_vis"][..., 0] > 0
+    assert np.isfinite(batch["cond_joints"]).all()
+    assert (d[live] > 0.5).mean() > 0.5, "synthesis produced no noise"
+    # a second batch re-folds the key: different draws
+    batch2 = next(iter(loader))
+    assert not np.allclose(batch2["cond_joints"], batch["cond_joints"])
+
+
 def test_ochuman_dataset_end_to_end_eval(tmp_path):
     """OCHuman (COCO-17 skeleton, inherited eval path) — the 3x-refinement
     headline dataset (README.md:104)."""
