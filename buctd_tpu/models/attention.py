@@ -15,34 +15,25 @@ from flax import linen as nn
 
 LINEAR_INIT = nn.initializers.normal(stddev=0.001)
 
-# chunk the query axis at eval when the full (B, h, nq, nk) attention tensor
-# would exceed this many elements (f32: 2^31 = 8.6 GB, roughly half the v5e's
-# HBM) — CoAM's stage-2 position attention is 6912x6912 = 191 MB PER SAMPLE,
-# which capped serving batches at ~32 before.  q-chunking is EXACT (each query
-# row's softmax is complete within its chunk) and shrinks the live footprint to
-# O(B x chunk x nk): measured b64 CoAM-W48 at 489.9 crops/s where the full
-# form cannot compile (tools/bench_coam.py)
-Q_CHUNK = 512
-Q_CHUNK_THRESHOLD = 1 << 31
-
-
 def _attend(q, k, v, scale):
-    att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                     preferred_element_type=jnp.float32) * scale
-    att = nn.softmax(att, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", att, v,
-                      preferred_element_type=jnp.float32)
+    """Attention on (B, h, n, d) operands as a lax.map of PLAIN 2-D GEMMs over
+    the folded batch x heads axis.  XLA's 3-D batched dot is pathological for
+    long-sequence attention shapes on v5e — the (16, 6912, 6912) qk/softmax/av
+    chain costs 265 ms batched vs 39.5 ms as mapped 2-D dots (6.7x); the same
+    holds with a singleton head axis or an optimization barrier, so the fix is
+    the mapped-GEMM formulation itself."""
+    B, h, nq, _ = q.shape
+    q3, k3, v3 = (x.reshape(B * h, x.shape[2], x.shape[3]) for x in (q, k, v))
 
+    def one(args):
+        qi, ki, vi = args
+        att = nn.softmax(
+            jnp.dot(qi, ki.T, preferred_element_type=jnp.float32) * scale,
+            axis=-1)
+        return jnp.dot(att, vi.astype(jnp.float32))
 
-def _attend_chunked(q, k, v, scale, chunk=Q_CHUNK):
-    """Exact attention with the query axis processed in chunks (lax.map)."""
-    B, h, nq, d = q.shape
-    pad = (-nq) % chunk
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    qc = qp.reshape(B, h, -1, chunk, d).transpose(2, 0, 1, 3, 4)
-    out = jax.lax.map(lambda qi: _attend(qi, k, v, scale), qc)
-    out = out.transpose(1, 2, 0, 3, 4).reshape(B, h, nq + pad, v.shape[-1])
-    return out[:, :, :nq]
+    out = jax.lax.map(one, (q3, k3, v3))
+    return out.reshape(B, h, nq, v.shape[3])
 
 
 def dense(features, name, dtype=None):
@@ -74,16 +65,21 @@ class ScaledDotProductAttention(nn.Module):
         k = k.reshape(B, nk, self.h, self.d_k).transpose(0, 2, 1, 3)
         v = v.reshape(B, nk, self.h, self.d_v).transpose(0, 2, 1, 3)
         scale = 1.0 / np.sqrt(self.d_k)
-        if not train and B * self.h * nq * nk > Q_CHUNK_THRESHOLD:
-            # eval fast path: dropout is inactive, so q-chunking is exact
-            out = _attend_chunked(q, k, v, scale)
+        if not train:
+            # eval fast path: mapped 2-D GEMMs; per-sample attention memory, so
+            # large serving batches compile where the batched form cannot
+            out = _attend(q, k, v, scale)
         else:
-            att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+            # train path keeps the attention matrix for dropout (folded 3-D)
+            q3, k3, v3 = (x.reshape(B * self.h, x.shape[2], x.shape[3])
+                          for x in (q, k, v))
+            att = jnp.einsum("bqd,bkd->bqk", q3, k3,
                              preferred_element_type=jnp.float32) * scale
             att = nn.softmax(att, axis=-1)
             att = nn.Dropout(self.dropout, deterministic=not train)(att)
-            out = jnp.einsum("bhqk,bhkd->bhqd", att, v,
+            out = jnp.einsum("bqk,bkd->bqd", att, v3,
                              preferred_element_type=jnp.float32)
+            out = out.reshape(B, self.h, nq, self.d_v)
         out = out.transpose(0, 2, 1, 3).reshape(B, nq, self.h * self.d_v)
         return dense(self.in_dim_k, "fc_o", self.dtype)(out)
 
@@ -108,10 +104,14 @@ class SimplifiedScaledDotProductAttention(nn.Module):
         q = queries.reshape(B, nq, self.h, d_k).transpose(0, 2, 1, 3)
         k = keys.reshape(B, nk, self.h, d_k).transpose(0, 2, 1, 3)
         v = values.reshape(B, nk, self.h, d_v).transpose(0, 2, 1, 3)
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+        q3, k3, v3 = (x.reshape(B * self.h, x.shape[2], x.shape[3])
+                      for x in (q, k, v))      # folded: see _attend
+        att = jnp.einsum("bqd,bkd->bqk", q3, k3,
                          preferred_element_type=jnp.float32) / np.sqrt(d_k)
         att = nn.softmax(att, axis=-1)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, v, preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B, nq, self.h * d_v)
+        out = jnp.einsum("bqk,bkd->bqd", att, v3,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, self.h, nq, d_v).transpose(0, 2, 1, 3)
+        out = out.reshape(B, nq, self.h * d_v)
         return dense(self.d_model, "fc_o", self.dtype)(out)

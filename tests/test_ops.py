@@ -307,18 +307,21 @@ def test_crop_images_rotated_path():
     assert np.isfinite(out).all() and out.max() > 0
 
 
-def test_chunked_attention_exact():
-    """Query-chunked attention (models/attention.py eval fast path) is exactly
-    the full computation — each query row's softmax is complete per chunk."""
-    from buctd_tpu.models.attention import _attend, _attend_chunked
+def test_mapped_attention_exact():
+    """The mapped-GEMM eval attention (models/attention.py _attend) equals the
+    dense batched reference computation."""
+    from buctd_tpu.models.attention import _attend
     rng = np.random.RandomState(0)
-    B, h, nq, nk, d = 2, 2, 37, 53, 8      # nq deliberately not chunk-aligned
+    B, h, nq, nk, d = 2, 2, 37, 53, 8
     q = jnp.array(rng.randn(B, h, nq, d).astype(np.float32))
     k = jnp.array(rng.randn(B, h, nk, d).astype(np.float32))
     v = jnp.array(rng.randn(B, h, nk, d).astype(np.float32))
-    want = np.asarray(_attend(q, k, v, 0.35))
-    got = np.asarray(_attend_chunked(q, k, v, 0.35, chunk=16))
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    att = np.asarray(jnp.einsum("bhqd,bhkd->bhqk", q, k)) * 0.35
+    att = np.exp(att - att.max(-1, keepdims=True))
+    att /= att.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", att, np.asarray(v))
+    got = np.asarray(_attend(q, k, v, 0.35))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_warp_engine_dispatch():
