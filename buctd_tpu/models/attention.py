@@ -36,6 +36,34 @@ def _attend(q, k, v, scale):
     return out.reshape(B, h, nq, v.shape[3])
 
 
+def _attend_train(q, k, v, scale, dropout, rng):
+    """Training-path mapped attention: same 2-D GEMM formulation with explicit
+    per-slice dropout on the attention probabilities, and each map step
+    CHECKPOINTED so the backward pass recomputes its (nq, nk) attention matrix
+    instead of storing all B x h of them — flash-attention-like memory without a
+    custom kernel.  (nn.Dropout semantics: keep-mask / (1 - p); the rng stream
+    differs from flax's, which only changes training randomness, not its
+    distribution.)"""
+    B, h, nq, _ = q.shape
+    q3, k3, v3 = (x.reshape(B * h, x.shape[2], x.shape[3]) for x in (q, k, v))
+    keep_p = 1.0 - dropout
+    keys = jax.random.split(rng, B * h)
+
+    @jax.checkpoint
+    def one(args):
+        qi, ki, vi, kk = args
+        att = nn.softmax(
+            jnp.dot(qi, ki.T, preferred_element_type=jnp.float32) * scale,
+            axis=-1)
+        if dropout > 0.0:
+            keep = jax.random.bernoulli(kk, keep_p, att.shape)
+            att = jnp.where(keep, att / keep_p, 0.0)
+        return jnp.dot(att, vi.astype(jnp.float32))
+
+    out = jax.lax.map(one, (q3, k3, v3, keys))
+    return out.reshape(B, h, nq, v.shape[3])
+
+
 def dense(features, name, dtype=None):
     return nn.Dense(features, kernel_init=LINEAR_INIT, bias_init=nn.initializers.zeros,
                     name=name, dtype=dtype)
@@ -70,16 +98,8 @@ class ScaledDotProductAttention(nn.Module):
             # large serving batches compile where the batched form cannot
             out = _attend(q, k, v, scale)
         else:
-            # train path keeps the attention matrix for dropout (folded 3-D)
-            q3, k3, v3 = (x.reshape(B * self.h, x.shape[2], x.shape[3])
-                          for x in (q, k, v))
-            att = jnp.einsum("bqd,bkd->bqk", q3, k3,
-                             preferred_element_type=jnp.float32) * scale
-            att = nn.softmax(att, axis=-1)
-            att = nn.Dropout(self.dropout, deterministic=not train)(att)
-            out = jnp.einsum("bqk,bkd->bqd", att, v3,
-                             preferred_element_type=jnp.float32)
-            out = out.reshape(B, self.h, nq, self.d_v)
+            out = _attend_train(q, k, v, scale, self.dropout,
+                                self.make_rng("dropout"))
         out = out.transpose(0, 2, 1, 3).reshape(B, nq, self.h * self.d_v)
         return dense(self.in_dim_k, "fc_o", self.dtype)(out)
 

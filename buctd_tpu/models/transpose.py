@@ -102,20 +102,14 @@ class MultiheadSelfAttention(nn.Module):
         q = qkv_q.reshape(B, L, h, hd).transpose(0, 2, 1, 3) / np.sqrt(hd)
         k = qkv_k.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
         v = qkv_v.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
-        from .attention import _attend
+        from .attention import _attend, _attend_train
         if not train:
             # eval fast path: mapped 2-D GEMMs (models/attention.py) — 6.7x the
             # batched-dot form at 6912 tokens, with per-sample attention memory
             out = _attend(q, k, v, 1.0)             # q is pre-scaled
         else:
-            q3, k3, v3 = (x.reshape(B * h, L, hd) for x in (q, k, v))
-            att = jnp.einsum("bqd,bkd->bqk", q3, k3,
-                             preferred_element_type=jnp.float32)
-            att = nn.softmax(att, axis=-1)
-            att = nn.Dropout(self.dropout, deterministic=not train)(att)
-            out = jnp.einsum("bqk,bkd->bqd", att, v3,
-                             preferred_element_type=jnp.float32)
-            out = out.reshape(B, h, L, hd)
+            out = _attend_train(q, k, v, 1.0, self.dropout,
+                                self.make_rng("dropout"))
         out = out.transpose(0, 2, 1, 3).reshape(B, L, d)
         return dense(d, "out_proj", self.dtype)(out)
 

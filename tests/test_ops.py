@@ -324,6 +324,29 @@ def test_mapped_attention_exact():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_train_attention_mapped():
+    """_attend_train: dropout=0 equals the eval path; dropout>0 is deterministic
+    per key, zeroes entries, and has finite grads through the checkpointed map."""
+    import jax
+
+    from buctd_tpu.models.attention import _attend, _attend_train
+    rng = np.random.RandomState(1)
+    B, h, n, d = 2, 2, 24, 8
+    q = jnp.array(rng.randn(B, h, n, d).astype(np.float32))
+    k = jnp.array(rng.randn(B, h, n, d).astype(np.float32))
+    v = jnp.array(rng.randn(B, h, n, d).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_allclose(np.asarray(_attend_train(q, k, v, 0.5, 0.0, key)),
+                               np.asarray(_attend(q, k, v, 0.5)), atol=1e-6)
+    a1 = np.asarray(_attend_train(q, k, v, 0.5, 0.3, key))
+    a2 = np.asarray(_attend_train(q, k, v, 0.5, 0.3, key))
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.allclose(a1, np.asarray(_attend(q, k, v, 0.5)))
+
+    g = jax.grad(lambda q: jnp.sum(_attend_train(q, k, v, 0.5, 0.3, key) ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
 def test_warp_engine_dispatch():
     """TPU.WARP_ENGINE knob: 'matmul' routes to the banded-matmul engine;
     unknown names fail loudly."""
