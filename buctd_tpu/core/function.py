@@ -309,6 +309,52 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
     return perf
 
 
+def validate_lambda(cfg, val_loader, val_dataset, model, variables,
+                    output_dir=None, epoch=-1, mesh=None, writer=None,
+                    print_prefix="",
+                    lambda_vals=(0, 0.2, 0.4, 0.6, 0.8, 1.0)):
+    """Qualitative λ sweep (legacy lib/core/validate.py:336-430): per-λ forward
+    with lambda_vec = [λ, 1-λ] and the λ-weighted double loss — the reference
+    deep-copies the targets for the 'b' branch (:349-352), so the weights sum
+    out and only the model's λ response varies.  No decode/AP; returns
+    {λ: (mean loss, mean acc)} for eyeballing a λ-conditioned model's morph."""
+    J = int(cfg.MODEL.NUM_JOINTS)
+    use_lambda = "lambda_fc" in variables.get("params", {})
+    from .loss import joints_lambda_mse_loss
+
+    def step(variables, batch, lambda_vec):
+        if use_lambda:
+            out = model.apply(variables, batch["input"], train=False,
+                              lambda_vec=lambda_vec)
+        else:
+            out = model.apply(variables, batch["input"], train=False)
+        l = joints_lambda_mse_loss(out, batch["target"], batch["target_weight"])
+        lam = lambda_vec[:, 0]
+        loss = (l * lam).mean() + (l * (1.0 - lam)).mean()
+        acc, cnt, _ = pck_accuracy(out.transpose(0, 3, 1, 2),
+                                   batch["target"].transpose(0, 3, 1, 2))
+        return loss, acc, cnt
+
+    step = jax.jit(step)
+    meters = {lam: (AverageMeter(), AverageMeter()) for lam in lambda_vals}
+    for batch in val_loader:
+        dev_batch = {k: batch[k] for k in ("input", "target", "target_weight")}
+        B = batch["input"].shape[0]
+        n = int(batch["valid"].sum())
+        for lam in lambda_vals:
+            lambda_vec = jnp.concatenate(
+                [jnp.full((B, 1), float(lam), jnp.float32),
+                 jnp.full((B, 1), 1.0 - float(lam), jnp.float32)], axis=1)
+            loss, acc, cnt = step(variables, dev_batch, lambda_vec)
+            meters[lam][0].update(float(loss), n)
+            meters[lam][1].update(float(acc), int(cnt))
+    out = {}
+    for lam, (lm, am) in meters.items():
+        logger.info("lambda %.1f: loss %.6f acc %.3f", lam, lm.avg, am.avg)
+        out[lam] = (lm.avg, am.avg)
+    return out
+
+
 def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
                 mesh=None, writer=None, output_dir=None):
     """One training epoch (function.py:102-175).  Returns the new state."""

@@ -170,6 +170,42 @@ def test_reference_validate_lambda_vs_ours(tmp_path):
     assert conf_err.max() < 5e-3
 
 
+def test_validate_lambda_qualitative(tmp_path):
+    """Qualitative λ sweep (legacy validate.py:336-430): per-λ loss/acc dict
+    over the default 6-value grid; λ-head model responds to λ."""
+    ann_file, _ = _tiny_coco(tmp_path)
+    cfg = _cfg([
+        "MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
+        "DATASET.SYNTHESIS_POSE", "False",
+        "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
+        "DATASET.TEST_IMAGE_DIR", str(tmp_path),
+        "DATASET.TEST_ANNOTATION_FILE", ann_file,
+        "MODEL.IMAGE_SIZE", "[96, 128]", "MODEL.HEATMAP_SIZE", "[24, 32]",
+        "MODEL.EXTRA.USE_PRE_NET", "True",
+        "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+        "TEST.BATCH_SIZE_PER_GPU", "4",
+    ])
+    import jax
+    import jax.numpy as jnp
+
+    from buctd_tpu.core.function import validate_lambda
+    from buctd_tpu.data import Loader, get_dataset
+    from buctd_tpu.models import get_model
+
+    ds = get_dataset(cfg, is_train=False)
+    model = get_model(cfg)
+    lv = jnp.zeros((1, 2))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 96, 6)),
+                           train=False, lambda_vec=lv)
+    loader = Loader(ds, cfg, batch_size=4, num_workers=1)
+    out = validate_lambda(cfg, loader, ds, model, variables, str(tmp_path))
+    assert set(out) == {0, 0.2, 0.4, 0.6, 0.8, 1.0}
+    for lam, (loss, acc) in out.items():
+        assert np.isfinite(loss) and np.isfinite(acc)
+
+
 def test_evaluate_lambda_end_to_end(tmp_path):
     """Our evaluate_lambda (8-col dispatch -> per-mode eval + oks_merge) returns
     finite APs and writes the three results jsons — makes ops/nms.py oks_merge a
