@@ -118,12 +118,23 @@ def make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh=None):
 
 def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
              epoch=-1, mesh=None, writer=None, print_prefix=""):
-    """Full evaluation: loop -> accumulate -> dataset.evaluate (function.py:178-336)."""
+    """Full evaluation: loop -> accumulate -> dataset.evaluate (function.py:178-336).
+
+    Multi-host: each process decodes only its own contiguous shard of the val set
+    (the loaders serve per-process rows of the global batch), then the per-process
+    prediction blocks are all-gathered over DCN and every process runs the
+    identical dataset.evaluate on the merged set.
+    """
+    import jax as _jax
+
+    from ..data.pipeline import shard_length
+    from ..parallel.mesh import host_local_rows
+
     batch_time, losses, acc = AverageMeter(), AverageMeter(), AverageMeter()
     step = make_validate_step(cfg, model, val_dataset.flip_pairs,
                               val_dataset.kpt_colors, mesh=mesh)
 
-    num_samples = len(val_dataset)
+    num_samples = shard_length(len(val_dataset))   # this process's shard capacity
     all_preds = np.zeros((num_samples, int(cfg.MODEL.NUM_JOINTS), 3), np.float32)
     all_boxes = np.zeros((num_samples, 7))
     image_path = []
@@ -138,7 +149,7 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
             from ..parallel.mesh import shard_batch
             dev_batch = shard_batch(dev_batch, mesh)
         preds, maxvals, loss, a, cnt, out_hm = step(variables, dev_batch)
-        preds, maxvals = np.asarray(preds), np.asarray(maxvals)
+        preds, maxvals = host_local_rows(preds), host_local_rows(maxvals)
 
         n = int(batch["valid"].sum())
         losses.update(float(loss), n)
@@ -167,7 +178,7 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
 
                 from ..ops import get_max_preds
                 from ..utils.vis import save_debug_images
-                hm = np.asarray(out_hm)
+                hm = host_local_rows(out_hm)
                 hm_pred, _ = get_max_preds(hm.transpose(0, 3, 1, 2))
                 stride = cfg.MODEL.IMAGE_SIZE[0] / cfg.MODEL.HEATMAP_SIZE[0]
                 prefix = _os.path.join(output_dir,
@@ -175,6 +186,41 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
                 save_debug_images(cfg, batch["input"], batch,
                                   np.asarray(batch["target"]),
                                   np.asarray(hm_pred) * stride, hm, prefix)
+
+    if _jax.process_count() > 1:
+        # Merge the per-process shards into the full prediction set on every
+        # host.  Contiguous shards + the deterministic (unshuffled) eval order
+        # mean concatenation in process order IS dataset order; image paths are
+        # rebuilt from the (identical, fully-loaded) db on each host instead of
+        # gathering strings.  Annotation ids ride as int32 halves: x64 is off,
+        # so a float32 gather would corrupt ids above 2^24 (CrowdPose has them).
+        from jax.experimental import multihost_utils as mhu
+        counts = np.asarray(mhu.process_allgather(np.asarray(idx, np.int32)))
+
+        def _gather(a):
+            pad = np.zeros((num_samples,) + a.shape[1:], a.dtype)
+            pad[:idx] = a[:idx]
+            g = np.asarray(mhu.process_allgather(pad))
+            return np.concatenate(
+                [g[q, :int(counts[q])] for q in range(len(counts))], axis=0)
+
+        ids = all_boxes[:num_samples, 6].astype(np.int64)
+        hi = _gather((ids >> 31).astype(np.int32)).astype(np.int64)
+        lo = _gather((ids & 0x7FFFFFFF).astype(np.int32)).astype(np.int64)
+        boxes_g = _gather(all_boxes[:, :6].astype(np.float32)).astype(np.float64)
+        all_preds = _gather(all_preds)
+        all_boxes = np.concatenate(
+            [boxes_g, ((hi << 31) | lo).astype(np.float64)[:, None]], axis=1)
+        image_path = [val_dataset.db[q * num_samples + r]["image"]
+                      for q in range(len(counts)) for r in range(int(counts[q]))]
+        idx = int(counts.sum())
+        if _jax.process_index() > 0:
+            # every host runs the identical evaluate; secondary processes write
+            # their copies under a per-process subdir so a SHARED filesystem
+            # never sees concurrent writes to the same results file
+            import os as _os
+            output_dir = _os.path.join(output_dir,
+                                       f"proc{_jax.process_index()}")
 
     name_values, perf = val_dataset.evaluate(
         cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_path, epoch)
@@ -250,6 +296,10 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
     once per λ with lambda_vec = [λ, 1-λ]; λ=0 scores decay by TEST.DECAY_THRE
     (:245-250); all_boxes grows an 8th column carrying λ (:263) so
     dataset.evaluate dispatches to the per-mode + oks_merge evaluation."""
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "TEST.LAMBDA_SWEEP is a single-host legacy eval path "
+            "(lib/core/validate.py); run it without --coordinator")
     losses, acc = AverageMeter(), AverageMeter()
     use_lambda = "lambda_fc" in variables.get("params", {})
     step = make_validate_lambda_step(cfg, model, val_dataset.flip_pairs, mesh=mesh,
@@ -397,8 +447,8 @@ def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
 
                 from ..ops import get_max_preds
                 from ..utils.vis import save_debug_images
-                hm = np.asarray(metrics["out"]).transpose(0, 3, 1, 2)
-                hm_pred, _ = get_max_preds(hm)
+                hm = np.asarray(metrics["out"])           # NHWC, as rendered
+                hm_pred, _ = get_max_preds(hm.transpose(0, 3, 1, 2))
                 stride = cfg.MODEL.IMAGE_SIZE[0] / cfg.MODEL.HEATMAP_SIZE[0]
                 prefix = _os.path.join(output_dir, f"train_epoch_{epoch}_iter_{i}")
                 save_debug_images(cfg, batch["input"], batch,

@@ -109,7 +109,8 @@ class MultiheadSelfAttention(nn.Module):
             out = _attend(q, k, v, 1.0)             # q is pre-scaled
         else:
             out = _attend_train(q, k, v, 1.0, self.dropout,
-                                self.make_rng("dropout"))
+                                self.make_rng("dropout")
+                                if self.dropout > 0.0 else None)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, d)
         return dense(d, "out_proj", self.dtype)(out)
 

@@ -123,10 +123,16 @@ def make_train_step(cfg, model, mesh=None):
 
     repl = replicated_sharding(mesh)
     data = data_sharding(mesh)
+    # debug heatmaps stay data-sharded: a replicated out_sharding would force a
+    # per-step all-gather even on the non-dump steps (the host only fetches
+    # metrics["out"] every PRINT_FREQ iters of every 50th epoch)
+    metrics_sh = {"loss": repl, "acc": repl, "cnt": repl}
+    if bool(cfg.DEBUG.DEBUG):
+        metrics_sh["out"] = data
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        out_shardings=(repl, metrics_sh),
         donate_argnums=0,
     )
 
