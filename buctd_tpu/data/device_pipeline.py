@@ -48,11 +48,15 @@ class DeviceLoader:
 
     def __init__(self, dataset, cfg, batch_size=None, shuffle=False, num_workers=8,
                  seed=0, drop_last=False):
+        from .pipeline import local_batch_size
         self.ds = dataset
         self.cfg = cfg
         self.is_train = dataset.is_train
-        self.batch = batch_size or (cfg.TRAIN.BATCH_SIZE_PER_GPU if self.is_train
-                                    else cfg.TEST.BATCH_SIZE_PER_GPU)
+        # GLOBAL batch in, per-process local rows out (see pipeline.Loader)
+        self.global_batch = batch_size or (
+            cfg.TRAIN.BATCH_SIZE_PER_GPU if self.is_train
+            else cfg.TEST.BATCH_SIZE_PER_GPU)
+        self.batch = local_batch_size(self.global_batch)
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
@@ -128,13 +132,16 @@ class DeviceLoader:
         return fn
 
     def __len__(self):
-        n = len(self.ds)
+        from .pipeline import shard_length
+        n = shard_length(len(self.ds))
         return n // self.batch if self.drop_last else -(-n // self.batch)
 
     def __iter__(self):
+        from .pipeline import shard_epoch_order
         order = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(order)
+        order, n_valid = shard_epoch_order(order)
         for i in range(0, len(order), self.batch):
             idxs = order[i:i + self.batch]
             if len(idxs) < self.batch:
@@ -159,7 +166,8 @@ class DeviceLoader:
                      for k in samples[0] if k not in ("image", "image_path")}
             batch["image_path"] = [s["image_path"] for s in samples]
             batch["valid"] = (np.arange(self.batch) <
-                              min(self.batch, len(order) - i)).astype(np.float32)
+                              max(0, min(self.batch, n_valid - i))
+                              ).astype(np.float32)
 
             fn = self._device_fn((hb, wb))
             inp, tgt, tw = fn(images, batch["trans_inv"], batch["mask_box"],

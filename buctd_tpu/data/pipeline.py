@@ -87,6 +87,60 @@ def device_synthesize_batch(loader, idxs):
     return list(out)
 
 
+def _process_info():
+    """(process_index, process_count) — indirection so loader-sharding logic is
+    testable without spawning real jax.distributed processes."""
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def local_batch_size(global_batch: int) -> int:
+    """This process's share of a global batch (SURVEY.md §2.8 multi-host plan).
+
+    Loaders take the GLOBAL batch size (the reference's DataParallel semantics:
+    BATCH_SIZE_PER_GPU * #devices, tools/train.py:187) and serve only this
+    process's contiguous rows of it; ``parallel.mesh.shard_batch`` then assembles
+    the global device array from the per-process rows without data movement.
+    """
+    _, k = _process_info()
+    if k == 1:
+        return global_batch
+    if global_batch % k:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count {k}")
+    return global_batch // k
+
+
+def shard_epoch_order(order: np.ndarray):
+    """Slice a GLOBAL per-epoch sample order into this process's shard.
+
+    Returns (local_order, n_valid): a contiguous slice of ``order`` padded (by
+    repeating the last index) to the common per-process length ceil(n/k), so
+    every process runs the SAME number of jitted (hence collective) steps; rows
+    past n_valid are padding and must be flagged invalid.  The epoch order must
+    be built identically on every process (same seed) for disjoint coverage.
+    """
+    p, k = _process_info()
+    if k == 1:
+        return order, len(order)
+    per = -(-len(order) // k)
+    shard = order[p * per:(p + 1) * per]
+    n_valid = len(shard)
+    if n_valid == 0:          # degenerate: more processes than samples
+        shard = order[-1:]
+        n_valid = 0
+    if len(shard) < per:
+        shard = np.concatenate([shard, np.repeat(shard[-1:], per - len(shard))])
+    return shard, n_valid
+
+
+def shard_length(n_total: int) -> int:
+    """Per-process padded shard length for an n_total-sample dataset."""
+    _, k = _process_info()
+    return n_total if k == 1 else -(-n_total // k)
+
+
 def make_input_fn(cfg, colors):
     """Jitted: uint8/float crops + condition joints -> model input (B, H, W, C).
 
@@ -147,8 +201,12 @@ class Loader:
         self.ds = dataset
         self.cfg = cfg
         self.is_train = dataset.is_train if is_train is None else is_train
-        self.batch = batch_size or (cfg.TRAIN.BATCH_SIZE_PER_GPU if self.is_train
-                                    else cfg.TEST.BATCH_SIZE_PER_GPU)
+        # batch_size is the GLOBAL batch; multi-host serves only this process's
+        # contiguous rows of it (local_batch_size), over its shard of the order
+        self.global_batch = batch_size or (
+            cfg.TRAIN.BATCH_SIZE_PER_GPU if self.is_train
+            else cfg.TEST.BATCH_SIZE_PER_GPU)
+        self.batch = local_batch_size(self.global_batch)
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
@@ -167,16 +225,19 @@ class Loader:
             self._synth_seed = seed
 
     def __len__(self):
-        n = len(self.ds)
+        n = shard_length(len(self.ds))
         return n // self.batch if self.drop_last else -(-n // self.batch)
 
     def _synthesize_batch(self, idxs):
         return device_synthesize_batch(self, idxs)
 
     def __iter__(self):
+        # the GLOBAL order is built identically on every process (same seed);
+        # shard_epoch_order slices this process's contiguous piece of it
         order = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(order)
+        order, n_valid = shard_epoch_order(order)
         for i in range(0, len(order), self.batch):
             idxs = order[i:i + self.batch]
             if len(idxs) < self.batch:
@@ -190,7 +251,8 @@ class Loader:
                 zip(idxs, conds)))
             batch = collate(samples)
             batch["valid"] = (np.arange(self.batch) <
-                              min(self.batch, len(order) - i)).astype(np.float32)
+                              max(0, min(self.batch, n_valid - i))
+                              ).astype(np.float32)
             batch["input"] = self.input_fn(batch.pop("image"), batch["cond_joints"])
             # targets at train AND eval: the reference's val loop also computes
             # loss/PCK against generated targets (core/function.py:239-248)

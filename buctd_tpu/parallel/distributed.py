@@ -3,8 +3,11 @@
 The reference is single-node DataParallel only (SURVEY.md §2.8).  Here multi-host is
 the same data-parallel mesh code path: ``jax.distributed.initialize`` connects the
 hosts over DCN, ``jax.devices()`` then spans the whole slice, and ``make_mesh``
-lays the global batch over ICI+DCN.  Loaders shard the sample index space per
-process (``process_shard``) so each host reads only its slice of the db.
+lays the global batch over ICI+DCN.  The loaders shard the per-epoch sample order
+per process (``data.pipeline.shard_epoch_order``, same contiguous-ceil convention
+as ``process_shard``) so each host reads only its slice of the db, and
+``core.function.validate`` all-gathers the per-process prediction blocks before
+dataset.evaluate (``parallel.mesh.allgather_rows`` is the generic form).
 """
 
 from __future__ import annotations

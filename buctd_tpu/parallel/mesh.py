@@ -60,3 +60,41 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/state) across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def host_local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in global row order.
+
+    Single-host (fully addressable) arrays fetch whole; multi-host, the process's
+    addressable shards are its contiguous slice of the global batch (the loaders
+    feed shard_batch exactly those rows), so np.asarray on the global array —
+    which raises for non-addressable arrays — is replaced by a sorted-shard
+    concat.  This is the multi-host-safe replacement for core/function.py's
+    per-batch ``np.asarray(preds)`` (reference decode loop, function.py:255-273).
+    """
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allgather_rows(local: np.ndarray, count: int, capacity: int):
+    """Gather variable-length per-process row blocks across all processes.
+
+    ``local[:count]`` are this process's valid rows; every process pads to the
+    common ``capacity`` (its padded shard length), all-gathers over DCN, and
+    trims each process's block back to its true count — giving the concatenation
+    in process order (= dataset order for contiguous shards).  int64-exact
+    columns don't survive this path (x64 is disabled); gather them separately
+    (validate splits annotation ids into int32 halves).  No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return local[:count]
+    from jax.experimental import multihost_utils as mhu
+    pad = np.zeros((capacity,) + local.shape[1:], local.dtype)
+    pad[:count] = local[:count]
+    counts = np.asarray(mhu.process_allgather(np.asarray(count, np.int32)))
+    gathered = np.asarray(mhu.process_allgather(pad))
+    return np.concatenate(
+        [gathered[q, :int(counts[q])] for q in range(gathered.shape[0])], axis=0)

@@ -32,6 +32,11 @@ def parse_args():
     parser.add_argument("--modelDir", type=str, default="")
     parser.add_argument("--logDir", type=str, default="")
     parser.add_argument("--dataDir", type=str, default="")
+    # multi-host launch: same three flags + recipe as tools/train.py
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num-processes", dest="num_processes", type=int,
+                        default=None)
+    parser.add_argument("--process-id", dest="process_id", type=int, default=None)
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser.parse_args()
 
@@ -66,6 +71,10 @@ def main():
     args = parse_args()
     cfg = default_config()
     update_config(cfg, args)
+
+    # multi-host first: jax.distributed must connect before any device query
+    from buctd_tpu.parallel import initialize_distributed
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
 
     logger, final_output_dir, tb_log_dir = create_logger(cfg, args.cfg, "valid")
     logger.info(pprint.pformat(cfg))

@@ -109,7 +109,11 @@ def main():
     train_dataset = get_dataset(cfg, is_train=True)
     valid_dataset = get_dataset(cfg, is_train=False)
     # global batch = per-chip batch x mesh size (the reference's DataParallel
-    # semantics: BATCH_SIZE_PER_GPU * len(GPUS), tools/train.py:187)
+    # semantics: BATCH_SIZE_PER_GPU * len(GPUS), tools/train.py:187).
+    # Multi-host: the loaders internally serve only this process's contiguous
+    # rows of each global batch over its shard of the (same-seed) epoch order
+    # (data/pipeline.py shard_epoch_order), so N processes together feed exactly
+    # one global batch per step — not N duplicated copies.
     if cfg.TPU.DEVICE_PIPELINE:
         from buctd_tpu.data.device_pipeline import DeviceLoader
         train_loader = DeviceLoader(
