@@ -188,6 +188,10 @@ def default_config() -> CN:
     # batched jit on the accelerator instead of ~97 ms/sample host numpy
     # (data/pose_synthesis_jax.py); distributionally identical
     _C.TPU.DEVICE_SYNTHESIS = False
+    # long-sequence token attention (CoAM position attn, TransPose encoder):
+    # 'auto' = pallas flash kernel (ops/flash_attention.py) on TPU for
+    # L_q*L_k >= 512^2, mapped 2-D GEMMs elsewhere; 'flash'/'mapped' force
+    _C.TPU.ATTENTION_ENGINE = "auto"
 
     return _C
 

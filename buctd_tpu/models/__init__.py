@@ -24,6 +24,13 @@ def get_model(cfg, is_train: bool = False, dtype=None):
     name = cfg.MODEL.NAME
     if name not in _REGISTRY:
         raise KeyError(f"unknown MODEL.NAME {name!r}; known: {sorted(_REGISTRY)}")
+    # export the attention-engine knob for the flax modules (they have no cfg);
+    # read at trace time in models/attention.py::_use_flash
+    import os
+
+    eng = str(getattr(cfg.TPU, "ATTENTION_ENGINE", "auto"))
+    if os.environ.get("BUCTD_ATTENTION_ENGINE", "auto") == "auto":
+        os.environ["BUCTD_ATTENTION_ENGINE"] = eng
     return _REGISTRY[name](cfg, is_train=is_train, dtype=dtype)
 
 

@@ -6,6 +6,7 @@ Written as einsum-on-MXU token attention; param names mirror the torch modules
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -15,14 +16,51 @@ from flax import linen as nn
 
 LINEAR_INIT = nn.initializers.normal(stddev=0.001)
 
+# engine for the long-sequence token attention (CoAM position attention,
+# TransPose encoder): 'auto' = pallas flash kernel on TPU backends for
+# L_q*L_k >= 512*512, mapped 2-D GEMMs elsewhere; 'flash'/'mapped' force.
+# cfg.TPU.ATTENTION_ENGINE is exported here by models.get_model.
+_ENGINE_ENV = "BUCTD_ATTENTION_ENGINE"
+_FLASH_MIN_TOKENS = 512 * 512
+
+
+def _use_flash(nq: int, nk: int) -> bool:
+    eng = os.environ.get(_ENGINE_ENV, "auto")
+    if eng == "flash":
+        return True
+    if eng != "auto":
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return platform in ("tpu", "axon") and nq * nk >= _FLASH_MIN_TOKENS
+
+
+def _flash(q, k, v, scale, dropout=0.0, rng=None):
+    """(B, h, n, d) operands -> flash kernel on the folded batch*heads axis."""
+    from ..ops.flash_attention import flash_attention
+
+    B, h, nq, _ = q.shape
+    q3, k3, v3 = (x.reshape(B * h, x.shape[2], x.shape[3]) for x in (q, k, v))
+    seed = (jax.random.randint(rng, (), 0, np.iinfo(np.int32).max, jnp.int32)
+            if rng is not None else jnp.zeros((), jnp.int32))
+    out = flash_attention(q3, k3, v3, seed, float(scale), float(dropout))
+    return out.reshape(B, h, nq, v.shape[3])
+
+
 def _attend(q, k, v, scale):
-    """Attention on (B, h, n, d) operands as a lax.map of PLAIN 2-D GEMMs over
-    the folded batch x heads axis.  XLA's 3-D batched dot is pathological for
+    """Attention on (B, h, n, d) operands.  On TPU at the BUCTD sequence
+    lengths this is the pallas flash kernel (ops/flash_attention.py — no (L, L)
+    matrix in HBM at all); elsewhere a lax.map of PLAIN 2-D GEMMs over the
+    folded batch x heads axis.  XLA's 3-D batched dot is pathological for
     long-sequence attention shapes on v5e — the (16, 6912, 6912) qk/softmax/av
     chain costs 265 ms batched vs 39.5 ms as mapped 2-D dots (6.7x); the same
     holds with a singleton head axis or an optimization barrier, so the fix is
-    the mapped-GEMM formulation itself."""
+    the formulation, not tuning."""
     B, h, nq, _ = q.shape
+    if _use_flash(nq, k.shape[2]):
+        return _flash(q, k, v, scale)
     q3, k3, v3 = (x.reshape(B * h, x.shape[2], x.shape[3]) for x in (q, k, v))
 
     def one(args):
@@ -37,17 +75,25 @@ def _attend(q, k, v, scale):
 
 
 def _attend_train(q, k, v, scale, dropout, rng):
-    """Training-path mapped attention: same 2-D GEMM formulation with explicit
-    per-slice dropout on the attention probabilities, and each map step
-    CHECKPOINTED so the backward pass recomputes its (nq, nk) attention matrix
-    instead of storing all B x h of them — flash-attention-like memory without a
-    custom kernel.  (nn.Dropout semantics: keep-mask / (1 - p); the rng stream
-    differs from flax's, which only changes training randomness, not its
-    distribution.)"""
+    """Training-path attention.  On TPU at the BUCTD lengths: the pallas flash
+    kernel with in-kernel PRNG dropout and a flash backward (custom VJP — the
+    masks regenerate from the seed, so neither the (L, L) probabilities nor the
+    masks are ever stored).  Elsewhere: mapped 2-D GEMMs with explicit
+    per-slice dropout, each map step CHECKPOINTED so the backward recomputes one
+    (nq, nk) attention matrix at a time — flash-like memory without a kernel.
+    (Both rng streams differ from flax's nn.Dropout, which only changes training
+    randomness, not its distribution.)"""
+    if _use_flash(q.shape[2], k.shape[2]):
+        return _flash(q, k, v, scale, dropout=dropout, rng=rng)
     B, h, nq, _ = q.shape
     q3, k3, v3 = (x.reshape(B * h, x.shape[2], x.shape[3]) for x in (q, k, v))
     keep_p = 1.0 - dropout
-    keys = jax.random.split(rng, B * h)
+    if dropout > 0.0:
+        keys = jax.random.split(rng, B * h)
+    else:
+        # rng is None when dropout is inactive (callers only draw a "dropout"
+        # rng when rate > 0); placeholder keeps the map operands uniform
+        keys = jnp.zeros((B * h, 2), jnp.uint32)
 
     @jax.checkpoint
     def one(args):
@@ -99,7 +145,8 @@ class ScaledDotProductAttention(nn.Module):
             out = _attend(q, k, v, scale)
         else:
             out = _attend_train(q, k, v, scale, self.dropout,
-                                self.make_rng("dropout"))
+                                self.make_rng("dropout")
+                                if self.dropout > 0.0 else None)
         out = out.transpose(0, 2, 1, 3).reshape(B, nq, self.h * self.d_v)
         return dense(self.in_dim_k, "fc_o", self.dtype)(out)
 

@@ -1,0 +1,365 @@
+"""Pallas flash attention for the 6912-token CoAM / TransPose attention.
+
+Reference semantics: softmax(q k^T * scale) (+ dropout on the probabilities at
+train) @ v — lib/models/self_attention.py:10-88, transpose_h.py:168-243.  At the
+BUCTD resolutions (stage-2/3 of 384x288: L = 96*72 = 6912, head dim 48-112,
+heads = 1) attention is HBM-bound: the (L, L) probability matrix is 191 MB f32
+per batch*head slice, and the round-2 mapped-2-D-GEMM formulation
+(models/attention.py::_attend) still writes + re-reads it once per slice.  These
+kernels stream q/k/v blocks through VMEM with an online softmax, so NO (L, L)
+matrix ever touches HBM — forward or backward.
+
+Structure follows the canonical TPU flash kernel (grid with the kv axis
+innermost, VMEM scratch carrying the running max / sum / accumulator across kv
+steps, row statistics kept lane-replicated as (block_q, 128) tiles).
+
+Training: custom VJP with the standard flash backward — probabilities are
+recomputed from the saved logsumexp; dq accumulates over kv blocks with the
+q-block resident, dk/dv accumulate over q blocks with the kv-block resident.
+Dropout uses the TPU PRNG with a seed derived from (seed, bh, q-block,
+kv-block), so the forward and both backward kernels regenerate identical masks
+without ever storing them.
+
+All kernels also run under ``interpret=True`` for CPU parity tests (dropout=0
+only — the TPU PRNG has no interpreter lowering).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _rep(col, width):
+    """(block_q, 1) or (block_q, LANES) lane-replicated -> (block_q, width)."""
+    if col.shape[1] == 1:
+        col = jax.lax.broadcast_in_dim(col, (col.shape[0], LANES), (0, 1))
+    if width == LANES:
+        return col
+    return jnp.tile(col, (1, width // LANES))
+
+
+def _dropout_keep(shape, dropout: float):
+    """(keep_mask * 1/keep) f32 for the current PRNG stream position."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = np.uint32(min(int(dropout * 2.0**32), 2**32 - 1))
+    return jnp.where(bits >= threshold, 1.0 / (1.0 - dropout), 0.0)
+
+
+def _tile_seed(seed, bh, qi, ki, n_q, n_k):
+    # unique int32 stream per (slice, q-block, kv-block); identical in the
+    # forward and both backward kernels so the masks regenerate exactly
+    return seed + ((bh * n_q + qi) * n_k + ki)
+
+
+def _mxu_precision(dtype):
+    # f32 operands: multi-pass f32-accurate MXU matmuls (the 1-pass default
+    # quantizes inputs to bf16 -> ~2e-3 rel error, enough to threaten the f32
+    # AP-parity eval protocol); bf16 operands: the normal single pass
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _kv_mask(s, ki, block_k, l_k, n_k):
+    """Mask logits of zero-padded keys (ki is a traced program id; the
+    whether-any-padding-exists decision is static)."""
+    if n_k * block_k <= l_k:
+        return s
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col + ki * block_k < l_k, s, NEG_INF)
+
+
+# ---------------------------------------------------------------- forward ----
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale, l_k, block_k, n_k, n_q,
+                dropout, prec):
+    bh, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q, kb, vb = q_ref[0], k_ref[0], v_ref[0]
+    dp = q.shape[1]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
+    s = _kv_mask(s, ki, block_k, l_k, n_k)
+
+    m_prev, l_prev = m_scr[:], l_scr[:]
+    m_curr = jnp.max(s, axis=1)[:, None]                 # (block_q, 1)
+    m_next = jnp.maximum(m_prev, m_curr)                 # lane-replicated
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - _rep(m_next[:, :1], s.shape[1]))
+    l_scr[:] = l_prev * alpha + jnp.sum(p, axis=1)[:, None]
+    m_scr[:] = m_next
+    if dropout > 0.0:
+        # dropout applies to the NORMALIZED probabilities (torch nn.Dropout
+        # after softmax); the normalizer l is mask-independent, so masking the
+        # un-normalized p here (but not the l update above) is equivalent
+        pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qi, ki, n_q, n_k))
+        p = p * _dropout_keep(p.shape, dropout)
+    acc_scr[:] = (acc_scr[:] * _rep(alpha[:, :1], dp)
+                  + jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec))
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = acc_scr[:] / _rep(l[:, :1], dp)
+        lse_ref[0] = m_scr[:] + jnp.log(l)
+
+
+# --------------------------------------------------------------- backward ----
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_scr, *, scale, l_k, block_k, n_k, n_q, dropout,
+               prec):
+    bh, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q, kb, vb, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    dp = q.shape[1]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
+    s = _kv_mask(s, ki, block_k, l_k, n_k)
+    p = jnp.exp(s - _rep(lse_ref[0][:, :1], s.shape[1]))  # normalized probs
+    g = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    if dropout > 0.0:
+        pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qi, ki, n_q, n_k))
+        g = g * _dropout_keep(g.shape, dropout)
+    ds = p * (g - _rep(delta_ref[0][:, :1], g.shape[1]))
+    dq_scr[:] += jax.lax.dot_general(ds.astype(kb.dtype), kb,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        dq_ref[0] = dq_scr[:] * scale
+
+
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, l_k, block_k, n_k,
+                n_q, dropout, prec):
+    bh, ki, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q, kb, vb, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
+    s = _kv_mask(s, ki, block_k, l_k, n_k)
+    p = jnp.exp(s - _rep(lse_ref[0][:, :1], s.shape[1]))
+    keep = None
+    if dropout > 0.0:
+        pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qi, ki, n_q, n_k))
+        keep = _dropout_keep(p.shape, dropout)
+    pd = p * keep if keep is not None else p
+    dv_scr[:] += jax.lax.dot_general(pd.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+    g = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    if keep is not None:
+        g = g * keep
+    ds = p * (g - _rep(delta_ref[0][:, :1], g.shape[1]))
+    dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[0] = dk_scr[:] * scale
+        dv_ref[0] = dv_scr[:]
+
+
+# ---------------------------------------------------------------- wrapper ----
+def _pick_blocks(l_q: int, l_k: int):
+    return min(512, _ceil_to(l_q, LANES)), min(512, _ceil_to(l_k, LANES))
+
+
+def _pad(x, l_pad, d_pad):
+    bh, l, d = x.shape
+    if l == l_pad and d == d_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, l_pad - l), (0, d_pad - d)))
+
+
+def _dims(q, k):
+    bh, l_q, d = q.shape
+    l_k = k.shape[1]
+    block_q, block_k = _pick_blocks(l_q, l_k)
+    lqp, lkp, dp = (_ceil_to(l_q, block_q), _ceil_to(l_k, block_k),
+                    _ceil_to(d, LANES))
+    return bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp
+
+
+def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
+    bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(q, k)
+    n_q, n_k = lqp // block_q, lkp // block_k
+    qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
+
+    kernel = functools.partial(_fwd_kernel, scale=scale, l_k=l_k,
+                               block_k=block_k, n_k=n_k, n_q=n_q,
+                               dropout=dropout, prec=_mxu_precision(q.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j, *_: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j, *_: (b, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bh, lqp, dp), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, lqp, LANES), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
+            bytes_accessed=4 * bh * (2 * l_q + 2 * l_k) * d),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp)
+    return out[:, :l_q, :d], lse
+
+
+def _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
+    bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(q, k)
+    n_q, n_k = lqp // block_q, lkp // block_k
+    qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
+    dop = _pad(dout.astype(jnp.float32), lqp, dp)
+    # delta_i = sum_d do_id * o_id (the dropout-aware softmax-backward rowsum
+    # collapses to this — see module docstring); lane-replicated like lse
+    delta = jnp.sum(dout.astype(jnp.float32) * out, axis=-1)      # (bh, l_q)
+    delta = jnp.broadcast_to(
+        jnp.pad(delta, ((0, 0), (0, lqp - l_q)))[:, :, None], (bh, lqp, LANES))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    dq_kernel = functools.partial(_dq_kernel, scale=scale, l_k=l_k,
+                                  block_k=block_k, n_k=n_k, n_q=n_q,
+                                  dropout=dropout,
+                                  prec=_mxu_precision(q.dtype))
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j, *_: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j, *_: (b, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        dq_kernel, grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, lqp, dp), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
+            bytes_accessed=4 * bh * (3 * l_q + 2 * l_k) * d),
+    )(seed_arr, qp, kp, vp, dop, lse, delta)
+
+    dkv_kernel = functools.partial(_dkv_kernel, scale=scale, l_k=l_k,
+                                   block_k=block_k, n_k=n_k, n_q=n_q,
+                                   dropout=dropout,
+                                   prec=_mxu_precision(q.dtype))
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, j, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i, *_: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, i, *_: (b, j, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, dp), jnp.float32),
+                        pltpu.VMEM((block_k, dp), jnp.float32)],
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel, grid_spec=dkv_spec,
+        out_shape=[jax.ShapeDtypeStruct((bh, lkp, dp), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, lkp, dp), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
+            bytes_accessed=4 * bh * (3 * l_q + 3 * l_k) * d),
+    )(seed_arr, qp, kp, vp, dop, lse, delta)
+
+    return (dq[:, :l_q, :d].astype(q.dtype),
+            dk[:, :l_k, :d].astype(k.dtype),
+            dv[:, :l_k, :d].astype(v.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(q, k, v, seed=0, scale=1.0, dropout=0.0, interpret=False):
+    """out = dropout(softmax(q k^T * scale)) @ v without materializing (L, L).
+
+    q: (BH, Lq, d); k, v: (BH, Lk, d); seed: int32 (dropout stream, ignored when
+    dropout == 0).  Returns f32 (BH, Lq, d).  Differentiable; the backward
+    regenerates dropout masks from the same seed.
+    """
+    out, _ = _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, seed, scale, dropout, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret)
+    return out, (q, k, v, seed, lse, out)
+
+
+def _flash_bwd_rule(scale, dropout, interpret, res, dout):
+    q, k, v, seed, lse, out = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret,
+                                 lse, out, dout)
+    return dq, dk, dv, jnp.zeros_like(jnp.asarray(seed))
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -1,0 +1,95 @@
+"""Pallas flash attention vs the dense formulation (ops/flash_attention.py).
+
+CPU runs use interpret=True.  Dropout paths need the TPU PRNG (no interpreter
+lowering) and are exercised by tools/bench_flash.py on the real chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from buctd_tpu.ops.flash_attention import flash_attention
+
+
+def _dense(q, k, v, scale):
+    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("bh,lq,lk,d", [
+    (2, 256, 256, 48),      # CoAM-ish head dim, aligned L
+    (1, 300, 300, 112),     # TransPose-ish head dim, unaligned L (padding+mask)
+    (3, 640, 384, 96),      # cross-attention lengths, multi-block
+    (1, 128, 700, 64),      # single q block, padded kv tail
+])
+def test_flash_forward_matches_dense(bh, lq, lk, d):
+    rng = np.random.RandomState(0)
+    q = rng.randn(bh, lq, d).astype(np.float32)
+    k = rng.randn(bh, lk, d).astype(np.float32)
+    v = rng.randn(bh, lk, d).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 0,
+                          scale, 0.0, True)
+    want = _dense(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_backward_matches_dense():
+    bh, lq, lk, d = 2, 300, 200, 48
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(bh, lq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, lk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, lk, d).astype(np.float32))
+    g = jnp.asarray(rng.randn(bh, lq, d).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 0, scale, 0.0, True) * g)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense(q, k, v, scale) * g)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for gg, ww, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww), atol=5e-4,
+                                   rtol=1e-3, err_msg=f"d{name}")
+
+
+def test_flash_bf16_inputs():
+    bh, l, d = 1, 256, 48
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(bh, l, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(bh, l, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(bh, l, d), jnp.bfloat16)
+    got = flash_attention(q, k, v, 0, 0.2, 0.0, True)
+    want = _dense(q, k, v, 0.2)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_attend_routes_to_flash(monkeypatch):
+    """models.attention._attend uses the flash kernel when the engine says so
+    (interpret-mode shim on CPU) and matches its own mapped-GEMM path."""
+    from buctd_tpu.models import attention as A
+    from buctd_tpu.ops import flash_attention as F
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 1, 300, 48).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 1, 300, 48).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 1, 300, 48).astype(np.float32))
+    want = np.asarray(A._attend(q, k, v, 0.15))   # mapped path (CPU auto)
+
+    orig = F.flash_attention
+
+    def interp(qq, kk, vv, seed=0, scale=1.0, dropout=0.0, interpret=False):
+        return orig(qq, kk, vv, seed, scale, dropout, True)
+
+    monkeypatch.setattr(F, "flash_attention", interp)
+    monkeypatch.setenv("BUCTD_ATTENTION_ENGINE", "flash")
+    got = np.asarray(A._attend(q, k, v, 0.15))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
