@@ -99,7 +99,9 @@ class MultiheadSelfAttention(nn.Module):
         hd = d // h
         qkv_q, qkv_k, qkv_v = _PackedInProj(d, self.dtype, name="in_proj")(
             q_in, k_in, v_in)
-        q = qkv_q.reshape(B, L, h, hd).transpose(0, 2, 1, 3) / np.sqrt(hd)
+        # scale by a PYTHON float (weak type): an np scalar would promote bf16
+        # activations to f32 and hand the flash kernel mixed-dtype operands
+        q = qkv_q.reshape(B, L, h, hd).transpose(0, 2, 1, 3) / float(np.sqrt(hd))
         k = qkv_k.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
         v = qkv_v.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
         from .attention import _attend, _attend_train

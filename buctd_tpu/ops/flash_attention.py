@@ -204,7 +204,10 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 # ---------------------------------------------------------------- wrapper ----
 def _pick_blocks(l_q: int, l_k: int):
-    return min(512, _ceil_to(l_q, LANES)), min(512, _ceil_to(l_k, LANES))
+    # large tiles: the BUCTD shapes (d <= 128) are not VMEM-limited, and the
+    # grid-step count dominates wall clock at 512-tiles (measured 78 ms for
+    # b128 L=6912 at 512^2 tiles = 25k steps); 1024^2 quarters the step count
+    return (min(1024, _ceil_to(l_q, LANES)), min(1024, _ceil_to(l_k, LANES)))
 
 
 def _pad(x, l_pad, d_pad):
@@ -223,7 +226,15 @@ def _dims(q, k):
     return bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp
 
 
+def _unify(q, k, v):
+    # Mosaic rejects mixed-dtype matmul operands ("Bad rhs type"); promote all
+    # three to their common dtype before padding
+    dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
+    return q.astype(dt), k.astype(dt), v.astype(dt)
+
+
 def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
+    q, k, v = _unify(q, k, v)
     bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(q, k)
     n_q, n_k = lqp // block_q, lkp // block_k
     qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
@@ -263,6 +274,8 @@ def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
 
 
 def _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
+    qd, kd, vd = q.dtype, k.dtype, v.dtype
+    q, k, v = _unify(q, k, v)
     bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(q, k)
     n_q, n_k = lqp // block_q, lkp // block_k
     qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
@@ -333,9 +346,9 @@ def _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
             bytes_accessed=4 * bh * (3 * l_q + 3 * l_k) * d),
     )(seed_arr, qp, kp, vp, dop, lse, delta)
 
-    return (dq[:, :l_q, :d].astype(q.dtype),
-            dk[:, :l_k, :d].astype(k.dtype),
-            dv[:, :l_k, :d].astype(v.dtype))
+    return (dq[:, :l_q, :d].astype(qd),
+            dk[:, :l_k, :d].astype(kd),
+            dv[:, :l_k, :d].astype(vd))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
