@@ -203,11 +203,17 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 # ---------------------------------------------------------------- wrapper ----
-def _pick_blocks(l_q: int, l_k: int):
-    # large tiles: the BUCTD shapes (d <= 128) are not VMEM-limited, and the
-    # grid-step count dominates wall clock at 512-tiles (measured 78 ms for
-    # b128 L=6912 at 512^2 tiles = 25k steps); 1024^2 quarters the step count
-    return (min(1024, _ceil_to(l_q, LANES)), min(1024, _ceil_to(l_k, LANES)))
+def _pick_blocks(l_q: int, l_k: int, bwd: bool = False):
+    # forward: large tiles — the BUCTD shapes (d <= 128) are not VMEM-limited,
+    # and the grid-step count dominates wall clock at 512-tiles (measured 78 ms
+    # for b128 L=6912 at 512^2 tiles = 25k steps); 1024^2 quarters the step
+    # count.  backward: the dq/dkv kernels keep FOUR live f32 (block_q,
+    # block_k) intermediates (s, p, g, ds) vs the forward's two — 1024^2 tiles
+    # put 16 MB on the scoped-vmem stack and the compile fails at its 16 MB
+    # limit ("allocating on stack for ... pallas_call", 17.8M > 16M).  768^2
+    # tiles cut that to 9 MB and tile L=6912 exactly (9x9 grid, no padding).
+    cap = 768 if bwd else 1024
+    return (min(cap, _ceil_to(l_q, LANES)), min(cap, _ceil_to(l_k, LANES)))
 
 
 def _pad(x, l_pad, d_pad):
@@ -217,10 +223,10 @@ def _pad(x, l_pad, d_pad):
     return jnp.pad(x, ((0, 0), (0, l_pad - l), (0, d_pad - d)))
 
 
-def _dims(q, k):
+def _dims(q, k, bwd: bool = False):
     bh, l_q, d = q.shape
     l_k = k.shape[1]
-    block_q, block_k = _pick_blocks(l_q, l_k)
+    block_q, block_k = _pick_blocks(l_q, l_k, bwd)
     lqp, lkp, dp = (_ceil_to(l_q, block_q), _ceil_to(l_k, block_k),
                     _ceil_to(d, LANES))
     return bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp
@@ -276,10 +282,15 @@ def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
 def _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
     qd, kd, vd = q.dtype, k.dtype, v.dtype
     q, k, v = _unify(q, k, v)
-    bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(q, k)
+    bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(q, k, bwd=True)
     n_q, n_k = lqp // block_q, lkp // block_k
     qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
     dop = _pad(dout.astype(jnp.float32), lqp, dp)
+    # lse is padded to the FORWARD q-block multiple; re-pad for the (smaller)
+    # backward blocks.  Zero-lse padding rows are harmless: their do rows are
+    # zero, which annihilates the dk/dv contributions, and their dq rows are
+    # sliced off below.
+    lse = _pad(lse[:, :l_q], lqp, LANES)
     # delta_i = sum_d do_id * o_id (the dropout-aware softmax-backward rowsum
     # collapses to this — see module docstring); lane-replicated like lse
     delta = jnp.sum(dout.astype(jnp.float32) * out, axis=-1)      # (bh, l_q)

@@ -1,12 +1,12 @@
 """Train-step bench on the live chip: fwd+bwd+adam ms/step, crops/s, and MFU.
 
-Usage: python tools/bench_train.py [BATCHES...]   (default: 32 64 128)
+Usage: python tools/bench_train.py [--cfg YAML] [BATCHES...] (default: 32 64 128)
 Set BUCTD_REMAT=1 to rematerialize activations in the backward pass
 (TPU.REMAT) — lifts the b128 HBM cap at the cost of recompute.
 """
 
+import argparse
 import os
-import sys
 import time
 import types
 
@@ -31,18 +31,25 @@ def main():
     from buctd_tpu.ops import generate_target
     from buctd_tpu.train.state import create_train_state, make_train_step
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="/root/repo/experiments/coco/buctd/"
+                                     "prenet_w48_384x288.yaml")
+    ap.add_argument("batches", nargs="*", type=int, default=[32, 64, 128])
+    a = ap.parse_args()
+
     remat = os.environ.get("BUCTD_REMAT") == "1"
     cfg = default_config()
     update_config(cfg, types.SimpleNamespace(
-        cfg="/root/repo/experiments/coco/buctd/prenet_w48_384x288.yaml",
+        cfg=a.cfg,
         opts=(["TPU.REMAT", "True"] if remat else []),
         modelDir="", logDir="", dataDir=""))
     model = get_model(cfg, is_train=True, dtype=jnp.bfloat16)
+    name = os.path.basename(a.cfg).replace("_384x288.yaml", "")
     tag = " +remat" if remat else ""
     J = int(cfg.MODEL.NUM_JOINTS)
 
     rng = np.random.RandomState(0)
-    for B in [int(b) for b in sys.argv[1:]] or [32, 64, 128]:
+    for B in a.batches:
         try:
             joints = rng.rand(B, J, 2).astype(np.float32) * [280, 370] + 4
             tgt, _ = generate_target(jnp.array(joints), jnp.ones((B, J)),
@@ -81,7 +88,7 @@ def main():
                 mfu_s = f"  {flops / 1e12:.2f} TF -> MFU {mfu * 100:.1f}%"
             except Exception:
                 mfu_s = ""
-            print(f"train step W48-preNet{tag} b{B:3d}: {dt * 1e3:8.2f} ms  "
+            print(f"train step {name}{tag} b{B:3d}: {dt * 1e3:8.2f} ms  "
                   f"{B / dt:7.1f} crops/s{mfu_s}", flush=True)
         except Exception as e:
             print(f"b{B}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
