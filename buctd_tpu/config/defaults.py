@@ -177,6 +177,14 @@ def default_config() -> CN:
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.DONATE_STATE = True
     _C.TPU.REMAT = False
+    # 'modules' (default — REMAT=True means "make it fit"): checkpoint
+    # stem+layer1 and each HRModule as units; the only granularity measured
+    # to fit b192+ (costs 1.5-2x per-crop).  'stem': ONLY preNet+stem+layer1
+    # (5% tax; enough when the layer1 giants are the overage).  'blocks': per
+    # residual block (does NOT lower the HRNet peak — the boundary tensors
+    # dominate).  'forward': legacy whole-forward jax.checkpoint (does not
+    # lower it either).  See models/hrnet.py::_maybe_remat and PERF.md.
+    _C.TPU.REMAT_MODE = "modules"
     # run warp/render/target on-device per batch (data/device_pipeline.py) instead
     # of per-sample cv2 on the host
     _C.TPU.DEVICE_PIPELINE = False

@@ -107,6 +107,38 @@ class Bottleneck(nn.Module):
 BLOCKS = {"BASIC": (BasicBlock, 1), "BOTTLENECK": (Bottleneck, 4)}
 
 
+def _maybe_remat(block_cls, remat: str, train: bool,
+                 when=("blocks", "modules", "stem")):
+    """Rematerialization granularity (TPU.REMAT + TPU.REMAT_MODE).
+
+    Whole-forward jax.checkpoint CANNOT reduce the peak of a plain fwd+bwd
+    step — the backward replay re-stores every intermediate the backward
+    needs, so the peak equals the no-remat peak (measured: b192 preNet-W48
+    bf16 OOMs identically, 17.98G > 15.75G HBM, with and without it).
+
+    'blocks' checkpoints each residual block — but the dominant temps are the
+    block BOUNDARY tensors (four 648 MB bf16 [192,96,72,256] layer1 outputs),
+    which block-granularity must keep (measured: b192 still 17.98G).
+
+    'modules' (default) checkpoints layer1 + the stem as ONE unit each and
+    every HRModule as a unit: only the unit INPUTS stay resident through the
+    backward (layer1: one 96x72x64 tensor instead of 4x 648 MB), and each
+    unit's internals are recomputed one-at-a-time when its backward runs —
+    peak becomes boundary-sum + the largest single unit.  The only granularity
+    measured to fit b192+ (for 1.5-2x per-crop time).
+
+    'stem' checkpoints ONLY preNet + stem + layer1 — the largest single
+    temps (4x 648 MB layer1 boundaries + the full-res 1.8x-padded preNet
+    maps) — and stores everything else: a 5% tax, but b192 still OOMs on the
+    stored 162 MB stage3/4 branch activations (PERF.md, probe_train_compile)."""
+    if remat not in when or not train:
+        return block_cls
+    # static_argnums counts self as 0; every block signature is (self, *arrays,
+    # train), so the static `train` flag is the last positional argument
+    train_argnum = {PreNet: 3}.get(block_cls, 2)
+    return nn.remat(block_cls, static_argnums=(train_argnum,))
+
+
 @dataclasses.dataclass(frozen=True)
 class StageSpec:
     num_modules: int
@@ -139,11 +171,13 @@ class HRModule(nn.Module):
     in_channels: tuple
     multi_scale_output: bool = True
     dtype: Any = None
+    remat: str = ""
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
         spec = self.spec
         block_cls, exp = BLOCKS[spec.block]
+        block_cls = _maybe_remat(block_cls, self.remat, train, when=("blocks",))
         nb = spec.num_branches
 
         outs = []
@@ -158,7 +192,7 @@ class HRModule(nn.Module):
                     has_downsample=(k == 0 and cin != cout),
                     name=f"branches.{i}.{k}",
                     dtype=self.dtype,
-                )(x, train=train)
+                )(x, train)   # positional: remat static_argnums binds positionally
             outs.append(x)
 
         if nb == 1:
@@ -267,23 +301,37 @@ class HRNetTrunk(nn.Module):
 
     spec: HRNetSpec
     dtype: Any = None
+    remat: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False, taps=(None, None, None, None),
                  tap_arg=None):
         dt = self.dtype
-        x = conv(64, 3, 2, name="conv1", dtype=dt)(x)
-        x = batch_norm(name="bn1", dtype=dt)(x, use_running_average=not train)
-        x = nn.relu(x)
-        x = conv(64, 3, 2, name="conv2", dtype=dt)(x)
-        x = batch_norm(name="bn2", dtype=dt)(x, use_running_average=not train)
-        x = nn.relu(x)
 
-        cin = 64
-        for k in range(4):
-            x = Bottleneck(planes=64, has_downsample=(k == 0 and cin != 256),
-                           name=f"layer1.{k}", dtype=dt)(x, train=train)
-            cin = 256
+        def _stem_layer1(mdl, x, train):
+            del mdl  # child modules auto-parent to the enclosing compact scope
+            x = conv(64, 3, 2, name="conv1", dtype=dt)(x)
+            x = batch_norm(name="bn1", dtype=dt)(x, use_running_average=not train)
+            x = nn.relu(x)
+            x = conv(64, 3, 2, name="conv2", dtype=dt)(x)
+            x = batch_norm(name="bn2", dtype=dt)(x, use_running_average=not train)
+            x = nn.relu(x)
+            cin = 64
+            layer1_cls = _maybe_remat(Bottleneck, self.remat, train,
+                                      when=("blocks",))
+            for k in range(4):
+                x = layer1_cls(planes=64, has_downsample=(k == 0 and cin != 256),
+                               name=f"layer1.{k}", dtype=dt)(x, train)
+                cin = 256
+            return x
+
+        if self.remat in ("modules", "stem") and train:
+            # ONE remat unit for stem+layer1: only its input stays resident
+            # through the backward (the four 648 MB bf16 [B,96,72,256] block
+            # outputs are recomputed when this unit's backward runs)
+            x = nn.remat(_stem_layer1, static_argnums=(2,))(self, x, train)
+        else:
+            x = _stem_layer1(self, x, train)
 
         ys = [x]
         pre = (256,)
@@ -300,8 +348,11 @@ class HRNetTrunk(nn.Module):
             last = si == 2
             for m in range(stage.num_modules):
                 mso = not (last and m == stage.num_modules - 1)
-                ys = HRModule(spec=stage, in_channels=cur, multi_scale_output=mso,
-                              name=f"{sname}.{m}", dtype=dt)(ys, train=train)
+                mod_cls = _maybe_remat(HRModule, self.remat, train,
+                                       when=("modules",))
+                ys = mod_cls(spec=stage, in_channels=cur, multi_scale_output=mso,
+                             name=f"{sname}.{m}", dtype=dt,
+                             remat=self.remat)(ys, train)
             pre = cur
         if taps[3] is not None:
             ys = taps[3](ys, tap_arg, train)
@@ -334,6 +385,7 @@ class PoseHRNet(nn.Module):
 
     spec: HRNetSpec
     dtype: Any = None
+    remat: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False, film=None, lambda_vec=None,
@@ -351,9 +403,13 @@ class PoseHRNet(nn.Module):
         (zero-init last layer) so an untrained head is a near-identity."""
         if self.spec.use_pre_net:
             assert x.shape[-1] >= 6, "preNet requires RGB + 3-channel condition input"
-            x = PreNet(name="_prenet", dtype=self.dtype)(
-                x[..., :3], x[..., 3:6], train=train)
-        ys = HRNetTrunk(spec=self.spec, name="_trunk", dtype=self.dtype)(x, train=train)
+            # remat the preNet too: its full-resolution 3-channel temps pad
+            # 1.8x on TPU (216 MB each at b192) for a ~2%-of-FLOPs stem
+            prenet_cls = _maybe_remat(PreNet, self.remat, train)
+            x = prenet_cls(name="_prenet", dtype=self.dtype)(
+                x[..., :3], x[..., 3:6], train)
+        ys = HRNetTrunk(spec=self.spec, name="_trunk", dtype=self.dtype,
+                        remat=self.remat)(x, train=train)
         feats = ys[0]
         if return_features:
             return feats
@@ -376,6 +432,16 @@ class PoseHRNet(nn.Module):
         return out
 
 
+def remat_mode(cfg, is_train: bool) -> str:
+    """'' (off), 'stem', 'blocks', or 'modules' — the in-model remat
+    granularity.  'forward' (legacy whole-forward jax.checkpoint, handled in
+    train/state.py) maps to '' here."""
+    if not (bool(is_train) and bool(getattr(cfg.TPU, "REMAT", False))):
+        return ""
+    mode = str(getattr(cfg.TPU, "REMAT_MODE", "modules"))
+    return mode if mode in ("stem", "blocks", "modules") else ""
+
+
 def get_pose_net(cfg, is_train: bool = False, dtype=None) -> PoseHRNet:
-    del is_train  # train/eval is a call-time flag in flax
-    return PoseHRNet(spec=HRNetSpec.from_cfg(cfg), dtype=dtype)
+    return PoseHRNet(spec=HRNetSpec.from_cfg(cfg), dtype=dtype,
+                     remat=remat_mode(cfg, is_train))

@@ -50,6 +50,7 @@ class PoseHRNetCoAM(nn.Module):
     spec: HRNetSpec
     coam: CoAMSpec
     dtype: Any = None
+    remat: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -94,7 +95,8 @@ class PoseHRNetCoAM(nn.Module):
             else:
                 taps.append(None)
 
-        ys = HRNetTrunk(spec=self.spec, name="_trunk", dtype=self.dtype)(
+        ys = HRNetTrunk(spec=self.spec, name="_trunk", dtype=self.dtype,
+                        remat=self.remat)(
             rgb, train=train, taps=tuple(taps), tap_arg=cond_hm)
         k = self.spec.final_conv_kernel
         out = nn.Conv(self.spec.num_joints, (k, k), padding=((k // 2, k // 2),) * 2,
@@ -104,6 +106,7 @@ class PoseHRNetCoAM(nn.Module):
 
 
 def get_pose_net(cfg, is_train: bool = False, dtype=None) -> PoseHRNetCoAM:
-    del is_train
+    from .hrnet import remat_mode
+
     return PoseHRNetCoAM(spec=HRNetSpec.from_cfg(cfg), coam=CoAMSpec.from_cfg(cfg),
-                         dtype=dtype)
+                         dtype=dtype, remat=remat_mode(cfg, is_train))

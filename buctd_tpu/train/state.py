@@ -91,8 +91,13 @@ def make_train_step(cfg, model, mesh=None):
                            x, train=True, mutable=["batch_stats"],
                            rngs={"dropout": dropout_rng})
 
-    if bool(getattr(cfg.TPU, "REMAT", False)):
-        # trade FLOPs for HBM: recompute activations in the backward pass
+    if (bool(getattr(cfg.TPU, "REMAT", False))
+            and str(getattr(cfg.TPU, "REMAT_MODE", "modules")) == "forward"):
+        # legacy whole-forward checkpoint.  NOTE: this cannot reduce the peak
+        # of a plain fwd+bwd step (the backward replay re-stores every needed
+        # intermediate); TPU.REMAT_MODE='modules' (default) instead
+        # checkpoints stem+layer1 and each HRModule inside the model
+        # (models/hrnet.py)
         forward = jax.checkpoint(forward)
 
     def step_fn(state: TrainState, batch, dropout_rng):

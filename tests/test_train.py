@@ -334,3 +334,52 @@ def test_pck_accuracy_matches_reference():
     got_avg, got_cnt, _ = pck_accuracy(jnp.array(out), jnp.array(tgt))
     assert int(got_cnt) == want_cnt
     np.testing.assert_allclose(float(got_avg), want_avg, atol=1e-6)
+
+
+def test_remat_is_identity():
+    """TPU.REMAT (modes 'blocks'/'modules', models/hrnet.py::_maybe_remat) must
+    not change the step numerics: same loss and same updated params as the
+    no-remat step (remat only changes WHEN activations are (re)computed)."""
+    from jax.flatten_util import ravel_pytree
+
+    from buctd_tpu.models import get_model
+    from buctd_tpu.ops import generate_target
+    from buctd_tpu.train.state import create_train_state, make_train_step
+
+    opts = [
+        "MODEL.IMAGE_SIZE", "[64, 64]", "MODEL.HEATMAP_SIZE", "[16, 16]",
+        "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+        "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+    ]
+    B = 2
+    rng = np.random.RandomState(0)
+    joints = rng.rand(B, 17, 2).astype(np.float32) * 56 + 4
+    tgt, _ = generate_target(jnp.array(joints), jnp.ones((B, 17)),
+                             (64, 64), (16, 16), 2)
+    batch = {
+        "input": rng.rand(B, 64, 64, 3).astype(np.float32),
+        "target": np.asarray(tgt).transpose(0, 2, 3, 1),
+        "target_weight": np.ones((B, 17), np.float32),
+    }
+
+    got = {}
+    for tag, extra in [
+        ("off", []),
+        ("modules", ["TPU.REMAT", "True"]),
+        ("stem", ["TPU.REMAT", "True", "TPU.REMAT_MODE", "stem"]),
+        ("blocks", ["TPU.REMAT", "True", "TPU.REMAT_MODE", "blocks"]),
+    ]:
+        cfg = _small_cfg(opts + extra)
+        model = get_model(cfg, is_train=True)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 3)), steps_per_epoch=10)
+        new_state, metrics = make_train_step(cfg, model)(
+            state, dict(batch), jax.random.PRNGKey(1))
+        flat = ravel_pytree(new_state.params)[0]
+        got[tag] = (float(metrics["loss"]), np.asarray(flat))
+
+    for tag in ("stem", "modules", "blocks"):
+        assert got["off"][0] == pytest.approx(got[tag][0], rel=1e-6), tag
+        np.testing.assert_allclose(got["off"][1], got[tag][1], rtol=1e-5,
+                                   atol=1e-7, err_msg=tag)
