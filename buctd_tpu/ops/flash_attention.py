@@ -27,6 +27,7 @@ only — the TPU PRNG has no interpreter lowering).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +85,7 @@ def _kv_mask(s, ki, block_k, l_k, n_k):
 # ---------------------------------------------------------------- forward ----
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, scale, l_k, block_k, n_k, n_q,
-                dropout, prec):
+                dropout, prec, sm_dtype):
     bh, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -93,26 +94,35 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q, kb, vb = q_ref[0], k_ref[0], v_ref[0]
+    # scale q once per grid step (block_q x d elements) instead of the
+    # (block_q, block_k) logits — 8x fewer VPU multiplies at 1024/128 blocks
+    q, kb, vb = q_ref[0] * jnp.asarray(scale, q_ref.dtype), k_ref[0], v_ref[0]
     dp = q.shape[1]
+    # logits/max/stats stay f32 (Mosaic requires a 32-bit matmul acc; exact
+    # row max); only the exp — the VPU-transcendental bottleneck of the whole
+    # kernel — runs on sm_dtype tiles (bf16 for bf16 operands: 2x packing,
+    # and the cast replaces the p-to-bf16 cast the p@v matmul needed anyway).
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=prec) * scale
+                            precision=prec)
     s = _kv_mask(s, ki, block_k, l_k, n_k)
 
     m_prev, l_prev = m_scr[:], l_scr[:]
     m_curr = jnp.max(s, axis=1)[:, None]                 # (block_q, 1)
     m_next = jnp.maximum(m_prev, m_curr)                 # lane-replicated
     alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - _rep(m_next[:, :1], s.shape[1]))
-    l_scr[:] = l_prev * alpha + jnp.sum(p, axis=1)[:, None]
+    # bf16 rounding of the shifted logits costs <=0.4% per p, normalized away
+    # by l below; parity vs dense stays ~3e-3 (tests + on-chip parity table)
+    p = jnp.exp((s - _rep(m_next[:, :1], s.shape[1])).astype(sm_dtype))
+    l_scr[:] = l_prev * alpha + jnp.sum(p, axis=1,
+                                        dtype=jnp.float32)[:, None]
     m_scr[:] = m_next
     if dropout > 0.0:
         # dropout applies to the NORMALIZED probabilities (torch nn.Dropout
         # after softmax); the normalizer l is mask-independent, so masking the
         # un-normalized p here (but not the l update above) is equivalent
         pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qi, ki, n_q, n_k))
-        p = p * _dropout_keep(p.shape, dropout)
+        p = p * _dropout_keep(p.shape, dropout).astype(sm_dtype)
     acc_scr[:] = (acc_scr[:] * _rep(alpha[:, :1], dp)
                   + jax.lax.dot_general(p.astype(vb.dtype), vb,
                                         (((1,), (0,)), ((), ())),
@@ -136,11 +146,11 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q, kb, vb, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    q, kb, vb, do = q_ref[0] * jnp.asarray(scale, q_ref.dtype), k_ref[0], v_ref[0], do_ref[0]
     dp = q.shape[1]
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=prec) * scale
+                            precision=prec)
     s = _kv_mask(s, ki, block_k, l_k, n_k)
     p = jnp.exp(s - _rep(lse_ref[0][:, :1], s.shape[1]))  # normalized probs
     g = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
@@ -170,10 +180,12 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q, kb, vb, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    # q pre-scaled: s = q'k^T directly, and dk = ds^T q' absorbs the chain-rule
+    # scale (the final dk_ref write drops its * scale)
+    q, kb, vb, do = q_ref[0] * jnp.asarray(scale, q_ref.dtype), k_ref[0], v_ref[0], do_ref[0]
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=prec) * scale
+                            precision=prec)
     s = _kv_mask(s, ki, block_k, l_k, n_k)
     p = jnp.exp(s - _rep(lse_ref[0][:, :1], s.shape[1]))
     keep = None
@@ -198,7 +210,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(qi == n_q - 1)
     def _():
-        dk_ref[0] = dk_scr[:] * scale
+        dk_ref[0] = dk_scr[:]
         dv_ref[0] = dv_scr[:]
 
 
@@ -213,6 +225,11 @@ def _pick_blocks(l_q: int, l_k: int, bwd: bool = False):
     # limit ("allocating on stack for ... pallas_call", 17.8M > 16M).  768^2
     # tiles cut that to 9 MB and tile L=6912 exactly (9x9 grid, no padding).
     cap = 768 if bwd else 1024
+    if not bwd and l_q % 1152 == 0 and l_k % 1152 == 0:
+        # the BUCTD length 6912 = 6*1152: 1152^2 tiles give 36 grid steps per
+        # bh slice vs 49 at padded-1024^2 (27% fewer) with ZERO padded rows,
+        # and the two live f32 intermediates (10.6 MB) still fit scoped vmem
+        cap = 1152
     return (min(cap, _ceil_to(l_q, LANES)), min(cap, _ceil_to(l_k, LANES)))
 
 
@@ -245,9 +262,16 @@ def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
     n_q, n_k = lqp // block_q, lkp // block_k
     qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
 
+    # bf16 softmax tiles for bf16 operands (f32 operands = the AP-parity eval
+    # path keep the f32 chain); BUCTD_FLASH_F32_SOFTMAX=1 forces f32 tiles
+    sm_dtype = (jnp.bfloat16
+                if q.dtype == jnp.bfloat16
+                and os.environ.get("BUCTD_FLASH_F32_SOFTMAX") != "1"
+                else jnp.float32)
     kernel = functools.partial(_fwd_kernel, scale=scale, l_k=l_k,
                                block_k=block_k, n_k=n_k, n_q=n_q,
-                               dropout=dropout, prec=_mxu_precision(q.dtype))
+                               dropout=dropout, prec=_mxu_precision(q.dtype),
+                               sm_dtype=sm_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, n_q, n_k),
@@ -362,6 +386,25 @@ def _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
             dv[:, :l_k, :d].astype(vd))
 
 
+# Trace-time shape log: XLA cost_analysis reports ~0 FLOPs for pallas custom
+# calls, so MFU benches enable this, lower() the program, and add the analytic
+# matmul FLOPs (2*Lq*Lk*d qk + 2*Lq*Lk*d av, per bh slice) for each logged call.
+TRACE_SHAPES: list = []
+_TRACE = False
+
+
+def trace_shapes(on: bool = True):
+    """Enable/clear the call-shape log (benches only; not thread-safe)."""
+    global _TRACE
+    _TRACE = on
+    TRACE_SHAPES.clear()
+
+
+def logged_flops() -> float:
+    """Analytic MXU FLOPs of all flash calls traced since trace_shapes(True)."""
+    return float(sum(4.0 * bh * lq * lk * d for bh, lq, lk, d in TRACE_SHAPES))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(q, k, v, seed=0, scale=1.0, dropout=0.0, interpret=False):
     """out = dropout(softmax(q k^T * scale)) @ v without materializing (L, L).
@@ -370,6 +413,8 @@ def flash_attention(q, k, v, seed=0, scale=1.0, dropout=0.0, interpret=False):
     dropout == 0).  Returns f32 (BH, Lq, d).  Differentiable; the backward
     regenerates dropout masks from the same seed.
     """
+    if _TRACE:
+        TRACE_SHAPES.append((q.shape[0], q.shape[1], k.shape[1], q.shape[2]))
     out, _ = _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret)
     return out
 

@@ -73,3 +73,54 @@ def two_step_losses(cfg, batch, mesh=None):
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
         losses.append(float(metrics["loss"]))
     return losses
+
+
+def eval_cfg(image_dir, ann_file, extra=()):
+    """Tiny eval config over the on-disk tiny-coco fixture (conditional
+    top-down, colored condition, BU bboxes — the BUCTD eval surface)."""
+    return tiny_cfg([
+        "MODEL.CONDITIONAL_TOPDOWN", "True", "DATASET.COLORED", "True",
+        "DATASET.SYNTHESIS_POSE", "False",
+        "TEST.USE_BU_BBOX", "True", "TEST.USE_GT_BBOX", "False",
+        "DATASET.TEST_IMAGE_DIR", str(image_dir),
+        "DATASET.TEST_ANNOTATION_FILE", str(ann_file),
+    ] + list(extra))
+
+
+def validate_capture(cfg, out_dir, mesh=None, batch_size=4):
+    """Run core.function.validate end-to-end (flip-test protocol and all) with
+    dataset.evaluate stubbed to CAPTURE the merged all_preds/all_boxes/paths.
+
+    Under jax.distributed the Loader serves this process's shard and validate
+    all-gathers the per-process blocks — so the captured arrays must equal a
+    single-process run's on every host (the multi-host eval correctness
+    statement)."""
+    import jax
+    import jax.numpy as jnp
+
+    from buctd_tpu.core.function import validate
+    from buctd_tpu.data import get_dataset
+    from buctd_tpu.data.pipeline import Loader
+    from buctd_tpu.models import get_model
+
+    ds = get_dataset(cfg, is_train=False)
+    captured = {}
+
+    def capture_eval(self, cfg, preds, output_dir, all_boxes, img_path, *a, **k):
+        captured.update(preds=np.array(preds), boxes=np.array(all_boxes),
+                        paths=list(img_path))
+        return {"AP": 0.0}, 0.0
+
+    orig = type(ds).evaluate
+    type(ds).evaluate = capture_eval
+    try:
+        loader = Loader(ds, cfg, batch_size=batch_size, num_workers=1)
+        model = get_model(cfg, is_train=False)
+        H = int(cfg.MODEL.IMAGE_SIZE[1])
+        W = int(cfg.MODEL.IMAGE_SIZE[0])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, H, W, 6)))
+        validate(cfg, loader, ds, model, variables, str(out_dir), mesh=mesh)
+    finally:
+        type(ds).evaluate = orig
+    return captured
