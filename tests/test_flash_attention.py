@@ -93,3 +93,33 @@ def test_attend_routes_to_flash(monkeypatch):
     monkeypatch.setenv("BUCTD_ATTENTION_ENGINE", "flash")
     got = np.asarray(A._attend(q, k, v, 0.15))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_pick_blocks_1152_exact_tiling():
+    """L=6912 (the BUCTD stage-2 length) tiles as 6x 1152^2 forward blocks
+    (zero padded rows); non-multiples keep the 1024 cap; backward keeps 768
+    (vmem-stack bound, PERF.md)."""
+    from buctd_tpu.ops.flash_attention import _pick_blocks
+
+    assert _pick_blocks(6912, 6912) == (1152, 1152)
+    assert _pick_blocks(1728, 1728) == (1024, 1024)     # 1728 % 1152 != 0
+    assert _pick_blocks(6912, 6912, bwd=True) == (768, 768)
+    assert _pick_blocks(300, 300) == (384, 384)         # lane-rounded small L
+
+
+def test_trace_shapes_logged_flops():
+    """The bench MFU helpers read analytic FLOPs from the trace-time log
+    (XLA cost_analysis reports ~0 for pallas custom calls)."""
+    from buctd_tpu.ops import flash_attention as fa
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 256, 48), jnp.float32)
+    fa.trace_shapes(True)
+    try:
+        jax.eval_shape(lambda a: flash_attention(a, a, a, 0, 1.0, 0.0, True),
+                       q)
+        assert fa.TRACE_SHAPES == [(2, 256, 256, 48)]
+        assert fa.logged_flops() == 4.0 * 2 * 256 * 256 * 48
+    finally:
+        fa.trace_shapes(False)
+    assert fa.TRACE_SHAPES == []
