@@ -296,6 +296,10 @@ def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
         out_shape=[jax.ShapeDtypeStruct((bh, lqp, dp), jnp.float32),
                    jax.ShapeDtypeStruct((bh, lqp, LANES), jnp.float32)],
         interpret=interpret,
+        # bh and the q axis are independent programs (scratch resets at ki==0);
+        # only the kv axis carries state — lets Mosaic overlap across (bh, qi)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
             bytes_accessed=4 * bh * (2 * l_q + 2 * l_k) * d),
@@ -344,6 +348,8 @@ def _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
         dq_kernel, grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((bh, lqp, dp), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=6 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
             bytes_accessed=4 * bh * (3 * l_q + 2 * l_k) * d),
@@ -376,6 +382,8 @@ def _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
         out_shape=[jax.ShapeDtypeStruct((bh, lkp, dp), jnp.float32),
                    jax.ShapeDtypeStruct((bh, lkp, dp), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=10 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
             bytes_accessed=4 * bh * (3 * l_q + 3 * l_k) * d),
