@@ -24,7 +24,11 @@ _ENGINE_ENV = "BUCTD_ATTENTION_ENGINE"
 _FLASH_MIN_TOKENS = 512 * 512
 
 
-def _use_flash(nq: int, nk: int) -> bool:
+def _use_flash(nq: int, nk: int, dq: int = 0, dv: int = 0) -> bool:
+    if dq != dv:
+        # the flash kernel assumes one head dim (d_v == d_k); mixed dims take
+        # the mapped-GEMM path (no in-repo module hits this — guard only)
+        return False
     eng = os.environ.get(_ENGINE_ENV, "auto")
     if eng == "flash":
         return True
@@ -59,7 +63,7 @@ def _attend(q, k, v, scale):
     holds with a singleton head axis or an optimization barrier, so the fix is
     the formulation, not tuning."""
     B, h, nq, _ = q.shape
-    if _use_flash(nq, k.shape[2]):
+    if _use_flash(nq, k.shape[2], q.shape[3], v.shape[3]):
         return _flash(q, k, v, scale)
     q3, k3, v3 = (x.reshape(B * h, x.shape[2], x.shape[3]) for x in (q, k, v))
 
@@ -83,7 +87,7 @@ def _attend_train(q, k, v, scale, dropout, rng):
     (nq, nk) attention matrix at a time — flash-like memory without a kernel.
     (Both rng streams differ from flax's nn.Dropout, which only changes training
     randomness, not its distribution.)"""
-    if _use_flash(q.shape[2], k.shape[2]):
+    if _use_flash(q.shape[2], k.shape[2], q.shape[3], v.shape[3]):
         return _flash(q, k, v, scale, dropout=dropout, rng=rng)
     B, h, nq, _ = q.shape
     q3, k3, v3 = (x.reshape(B * h, x.shape[2], x.shape[3]) for x in (q, k, v))

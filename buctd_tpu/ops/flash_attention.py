@@ -421,6 +421,9 @@ def flash_attention(q, k, v, seed=0, scale=1.0, dropout=0.0, interpret=False):
     dropout == 0).  Returns f32 (BH, Lq, d).  Differentiable; the backward
     regenerates dropout masks from the same seed.
     """
+    assert v.shape[2] == q.shape[2], (
+        "flash_attention assumes one head dim (d_v == d_k); got "
+        f"{v.shape[2]} != {q.shape[2]} — use the mapped-GEMM path instead")
     if _TRACE:
         TRACE_SHAPES.append((q.shape[0], q.shape[1], k.shape[1], q.shape[2]))
     out, _ = _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret)
