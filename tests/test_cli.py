@@ -150,6 +150,18 @@ def test_parity_eval_cli_smoke(tmp_path):
     torch.save({"latest_state_dict": tm.state_dict()}, str(pth))
 
     ann_file, _ = _tiny_coco(tmp_path)
+    # plain (non-conditional) protocol: the reference's eval _get_db ALWAYS
+    # reads the detector-box pickle when not (USE_BU_BBOX && CONDITIONAL),
+    # regardless of USE_GT_BBOX (reference dataloader.py:110-124) — build one
+    import pickle
+
+    import numpy as np
+    dets = [[np.array([[30.0, 25.0, 150.0, 200.0, 0.95],
+                       [160.0, 25.0, 280.0, 200.0, 0.90]])]
+            for _ in range(2)]                                  # 2 images
+    bbox_pkl = tmp_path / "dets.pkl"
+    with open(bbox_pkl, "wb") as f:
+        pickle.dump(dets, f)
     env = dict(os.environ,
                XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
                + " --xla_force_host_platform_device_count=8",
@@ -160,7 +172,8 @@ def test_parity_eval_cli_smoke(tmp_path):
          "--pth", str(pth), "--ann", ann_file, "--img-dir", str(tmp_path),
          "--out", str(tmp_path / "parity"), "--expected-ap", "50.0",
          *tiny, "LOG_DIR", str(tmp_path / "log"),
-         "TEST.BATCH_SIZE_PER_GPU", "4", "TEST.USE_GT_BBOX", "True",
+         "TEST.BATCH_SIZE_PER_GPU", "4",
+         "TEST.COCO_BBOX_FILE", str(bbox_pkl),
          "WORKERS", "2", "MODEL.CONDITIONAL_TOPDOWN", "False"],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
     assert r.returncode in (0, 1), r.stderr[-4000:]
