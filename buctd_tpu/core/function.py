@@ -195,14 +195,12 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
         # gathering strings.  Annotation ids ride as int32 halves: x64 is off,
         # so a float32 gather would corrupt ids above 2^24 (CrowdPose has them).
         from jax.experimental import multihost_utils as mhu
+
+        from ..parallel.mesh import allgather_rows
         counts = np.asarray(mhu.process_allgather(np.asarray(idx, np.int32)))
 
         def _gather(a):
-            pad = np.zeros((num_samples,) + a.shape[1:], a.dtype)
-            pad[:idx] = a[:idx]
-            g = np.asarray(mhu.process_allgather(pad))
-            return np.concatenate(
-                [g[q, :int(counts[q])] for q in range(len(counts))], axis=0)
+            return allgather_rows(a, idx, num_samples, counts=counts)
 
         ids = all_boxes[:num_samples, 6].astype(np.int64)
         hi = _gather((ids >> 31).astype(np.int32)).astype(np.int64)
@@ -446,8 +444,13 @@ def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
                 import os as _os
 
                 from ..ops import get_max_preds
+                from ..parallel.mesh import host_local_rows
                 from ..utils.vis import save_debug_images
-                hm = np.asarray(metrics["out"])           # NHWC, as rendered
+
+                # "out" stays data-sharded (train/state.py): under multi-host
+                # only this process's rows are addressable — and they are
+                # exactly the rows of the process-local batch["input"]
+                hm = host_local_rows(metrics["out"])      # NHWC, as rendered
                 hm_pred, _ = get_max_preds(hm.transpose(0, 3, 1, 2))
                 stride = cfg.MODEL.IMAGE_SIZE[0] / cfg.MODEL.HEATMAP_SIZE[0]
                 prefix = _os.path.join(output_dir, f"train_epoch_{epoch}_iter_{i}")

@@ -20,6 +20,12 @@ KEY_MAPS = {"transpose_h": transpose_key_map}
 IGNORE_TORCH_KEYS = {"transpose_h": ("pos_embedding",)}
 
 
+# what get_model last wrote to the engine env var — so a LATER get_model with a
+# different cfg can overwrite our own export, while an externally-set env var
+# (user/test override) is never clobbered
+_ENGINE_EXPORTED: list = []
+
+
 def get_model(cfg, is_train: bool = False, dtype=None):
     name = cfg.MODEL.NAME
     if name not in _REGISTRY:
@@ -29,8 +35,11 @@ def get_model(cfg, is_train: bool = False, dtype=None):
     import os
 
     eng = str(getattr(cfg.TPU, "ATTENTION_ENGINE", "auto"))
-    if os.environ.get("BUCTD_ATTENTION_ENGINE", "auto") == "auto":
+    cur = os.environ.get("BUCTD_ATTENTION_ENGINE")
+    if cur is None or cur == "auto" or (_ENGINE_EXPORTED
+                                        and cur == _ENGINE_EXPORTED[-1]):
         os.environ["BUCTD_ATTENTION_ENGINE"] = eng
+        _ENGINE_EXPORTED[:] = [eng]
     return _REGISTRY[name](cfg, is_train=is_train, dtype=dtype)
 
 

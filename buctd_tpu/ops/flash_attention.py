@@ -224,6 +224,10 @@ def _pick_blocks(l_q: int, l_k: int, bwd: bool = False):
     # put 16 MB on the scoped-vmem stack and the compile fails at its 16 MB
     # limit ("allocating on stack for ... pallas_call", 17.8M > 16M).  768^2
     # tiles cut that to 9 MB and tile L=6912 exactly (9x9 grid, no padding).
+    # NOTE on dropout: the masks regenerate from (seed, bh, qi, ki) + the tile
+    # SHAPE, so the forward and backward must tile identically for the VJP to
+    # see the same realization — dropout>0 forces the backward's 768 blocks in
+    # the forward too (callers pass bwd=True; test_dropout_blocks_match).
     cap = 768 if bwd else 1024
     if not bwd and l_q % 1152 == 0 and l_k % 1152 == 0:
         # the BUCTD length 6912 = 6*1152: 1152^2 tiles give 36 grid steps per
@@ -258,7 +262,11 @@ def _unify(q, k, v):
 
 def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
     q, k, v = _unify(q, k, v)
-    bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(q, k)
+    # dropout masks regenerate per-tile in the backward: tile like the
+    # backward (768^2) whenever dropout is live, so fwd and VJP draw the SAME
+    # masks; the big-tile fast path stays for the dropout-free eval/serving
+    bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(
+        q, k, bwd=dropout > 0.0)
     n_q, n_k = lqp // block_q, lkp // block_k
     qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
 

@@ -79,13 +79,15 @@ def host_local_rows(arr) -> np.ndarray:
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
-def allgather_rows(local: np.ndarray, count: int, capacity: int):
+def allgather_rows(local: np.ndarray, count: int, capacity: int, counts=None):
     """Gather variable-length per-process row blocks across all processes.
 
     ``local[:count]`` are this process's valid rows; every process pads to the
     common ``capacity`` (its padded shard length), all-gathers over DCN, and
     trims each process's block back to its true count — giving the concatenation
-    in process order (= dataset order for contiguous shards).  int64-exact
+    in process order (= dataset order for contiguous shards).  Pass ``counts``
+    (the pre-gathered per-process count vector) to share ONE counts collective
+    across several calls (validate gathers preds/boxes/id-halves).  int64-exact
     columns don't survive this path (x64 is disabled); gather them separately
     (validate splits annotation ids into int32 halves).  No-op single-process.
     """
@@ -94,7 +96,8 @@ def allgather_rows(local: np.ndarray, count: int, capacity: int):
     from jax.experimental import multihost_utils as mhu
     pad = np.zeros((capacity,) + local.shape[1:], local.dtype)
     pad[:count] = local[:count]
-    counts = np.asarray(mhu.process_allgather(np.asarray(count, np.int32)))
+    if counts is None:
+        counts = np.asarray(mhu.process_allgather(np.asarray(count, np.int32)))
     gathered = np.asarray(mhu.process_allgather(pad))
     return np.concatenate(
         [gathered[q, :int(counts[q])] for q in range(gathered.shape[0])], axis=0)

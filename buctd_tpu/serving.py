@@ -86,7 +86,9 @@ class PoseEstimator:
                                *key)
 
     def _pick_bucket(self, hb: int, wb: int, pb: int):
-        """Bucket key to run at, honoring the compile budget."""
+        """Bucket key to run at, honoring the compile budget.  (The image is
+        canonicalized to uint8 in predict(), so the jit key really is the
+        bucket shape — a float input would otherwise recompile each bucket.)"""
         key = (hb, wb, pb)
         if key in self._compiled or len(self._compiled) < self.max_compiles:
             self._compiled.add(key)
@@ -117,9 +119,13 @@ class PoseEstimator:
                            jnp.asarray(conds), img_wh=true_wh)
 
     def predict(self, image, condition_poses, vis_thres: float = 0.0) -> np.ndarray:
-        """image: (H, W, 3) RGB; condition_poses: (P, J, 2 or 3) image-frame poses.
-        Returns (P, J, 3) [x, y, conf] in image coordinates."""
+        """image: (H, W, 3) RGB, 0..255; condition_poses: (P, J, 2 or 3)
+        image-frame poses.  Returns (P, J, 3) [x, y, conf] in image coords."""
         image = np.asarray(image)
+        if image.dtype != np.uint8:
+            # canonical jit dtype: a float image would recompile every bucket
+            # (the compile budget counts SHAPES); 0..255 scale per the contract
+            image = np.clip(image, 0, 255).astype(np.uint8)
         conds = np.asarray(condition_poses, np.float32)
         if conds.ndim == 2:
             conds = conds[None]

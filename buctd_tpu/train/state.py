@@ -91,13 +91,16 @@ def make_train_step(cfg, model, mesh=None):
                            x, train=True, mutable=["batch_stats"],
                            rngs={"dropout": dropout_rng})
 
-    if (bool(getattr(cfg.TPU, "REMAT", False))
-            and str(getattr(cfg.TPU, "REMAT_MODE", "modules")) == "forward"):
-        # legacy whole-forward checkpoint.  NOTE: this cannot reduce the peak
-        # of a plain fwd+bwd step (the backward replay re-stores every needed
-        # intermediate); TPU.REMAT_MODE='modules' (default) instead
-        # checkpoints stem+layer1 and each HRModule inside the model
-        # (models/hrnet.py)
+    mode = str(getattr(cfg.TPU, "REMAT_MODE", "modules"))
+    if bool(getattr(cfg.TPU, "REMAT", False)) and (
+            mode == "forward" or not getattr(model, "remat", "")):
+        # 'forward' = explicit legacy whole-forward checkpoint.  It also
+        # serves as the fallback when the model did NOT implement in-model
+        # remat units (e.g. transpose/resnet carry no `remat` attr) so
+        # TPU.REMAT=True is never a silent no-op.  NOTE: for HRNet a whole-
+        # forward checkpoint cannot reduce the fwd+bwd peak (the backward
+        # replay re-stores every needed intermediate) — the in-model
+        # REMAT_MODE='modules' units are what fit b192+ (models/hrnet.py).
         forward = jax.checkpoint(forward)
 
     def step_fn(state: TrainState, batch, dropout_rng):

@@ -123,3 +123,19 @@ def test_trace_shapes_logged_flops():
     finally:
         fa.trace_shapes(False)
     assert fa.TRACE_SHAPES == []
+
+
+def test_dropout_forward_tiles_match_backward():
+    """Dropout masks regenerate per-TILE from (seed, bh, qi, ki): the forward
+    must tile exactly like the backward (768^2) whenever dropout is live, or
+    the VJP draws a different realization than the forward applied.  The lse
+    padding exposes the chosen block size."""
+    from buctd_tpu.ops.flash_attention import _flash_fwd_impl
+
+    spec = jax.ShapeDtypeStruct((1, 1000, 48), jnp.float32)
+    _, lse0 = jax.eval_shape(
+        lambda a: _flash_fwd_impl(a, a, a, 0, 1.0, 0.0, True), spec)
+    _, lsed = jax.eval_shape(
+        lambda a: _flash_fwd_impl(a, a, a, 0, 1.0, 0.1, True), spec)
+    assert lse0.shape[1] == 1024          # dropout-free: big-tile fast path
+    assert lsed.shape[1] == 1536          # dropout: 768-tiled like the bwd

@@ -19,7 +19,6 @@ from buctd_tpu.utils.compcache import enable as _enable_compcache
 _enable_compcache()
 
 STEPS = 5
-V5E_BF16_PEAK = 197e12
 
 
 def main():
@@ -81,15 +80,10 @@ def main():
             t0 = time.perf_counter()
             _, state = run(STEPS, state)
             dt = (time.perf_counter() - t0) / STEPS
-            try:
-                flops = float(step.lower(state, batch, d_rng)
-                              .compile().cost_analysis()["flops"])
-                mfu = flops / dt / V5E_BF16_PEAK
-                mfu_s = f"  {flops / 1e12:.2f} TF -> MFU {mfu * 100:.1f}%"
-            except Exception:
-                mfu_s = ""
+            from buctd_tpu.utils.summary import mfu_string
             print(f"train step {name}{tag} b{B:3d}: {dt * 1e3:8.2f} ms  "
-                  f"{B / dt:7.1f} crops/s{mfu_s}", flush=True)
+                  f"{B / dt:7.1f} crops/s"
+                  f"{mfu_string(step, (state, batch, d_rng), dt)}", flush=True)
         except Exception as e:
             print(f"b{B}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
 

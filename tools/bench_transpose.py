@@ -16,24 +16,6 @@ from buctd_tpu.utils.compcache import enable as _enable_compcache
 _enable_compcache()
 
 STEPS = 5
-V5E_BF16_PEAK = 197e12
-
-
-def _mfu(fwd, variables, x, dt):
-    """'  NN.N TF -> MFU X%' — XLA cost_analysis + analytic flash-kernel FLOPs
-    (cost_analysis reports ~0 for pallas custom calls)."""
-    from buctd_tpu.ops import flash_attention as fa
-
-    try:
-        fa.trace_shapes(True)
-        flops = float(fwd.lower(variables, x).compile()
-                      .cost_analysis()["flops"]) + fa.logged_flops()
-        return (f"  {flops / 1e12:.2f} TF -> MFU "
-                f"{flops / dt / V5E_BF16_PEAK * 100:.1f}%")
-    except Exception:
-        return ""
-    finally:
-        fa.trace_shapes(False)
 
 
 def main():
@@ -72,8 +54,9 @@ def main():
             t0 = time.perf_counter()
             run(STEPS)
             dt = (time.perf_counter() - t0) / STEPS
+            from buctd_tpu.utils.summary import mfu_string
             print(f"TransPose-H b{B:3d}: {dt * 1e3:8.2f} ms/step  "
-                  f"{B / dt:7.1f} crops/s{_mfu(fwd, variables, x, dt)}",
+                  f"{B / dt:7.1f} crops/s{mfu_string(fwd, (variables, x), dt)}",
                   flush=True)
         except Exception as e:
             print(f"b{B}: FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
