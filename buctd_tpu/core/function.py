@@ -181,8 +181,13 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
                 hm = host_local_rows(out_hm)
                 hm_pred, _ = get_max_preds(hm.transpose(0, 3, 1, 2))
                 stride = cfg.MODEL.IMAGE_SIZE[0] / cfg.MODEL.HEATMAP_SIZE[0]
-                prefix = _os.path.join(output_dir,
-                                       f"val_epoch_{epoch:09d}_iter_{i}{print_prefix}")
+                # per-process filename tag: every host dumps ITS shard; one
+                # shared prefix would clobber on a shared filesystem
+                ptag = (f"_proc{_jax.process_index()}"
+                        if _jax.process_count() > 1 else "")
+                prefix = _os.path.join(
+                    output_dir,
+                    f"val_epoch_{epoch:09d}_iter_{i}{print_prefix}{ptag}")
                 save_debug_images(cfg, batch["input"], batch,
                                   np.asarray(batch["target"]),
                                   np.asarray(hm_pred) * stride, hm, prefix)
@@ -453,7 +458,11 @@ def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
                 hm = host_local_rows(metrics["out"])      # NHWC, as rendered
                 hm_pred, _ = get_max_preds(hm.transpose(0, 3, 1, 2))
                 stride = cfg.MODEL.IMAGE_SIZE[0] / cfg.MODEL.HEATMAP_SIZE[0]
-                prefix = _os.path.join(output_dir, f"train_epoch_{epoch}_iter_{i}")
+                import jax as _jax
+                ptag = (f"_proc{_jax.process_index()}"
+                        if _jax.process_count() > 1 else "")
+                prefix = _os.path.join(output_dir,
+                                       f"train_epoch_{epoch}_iter_{i}{ptag}")
                 save_debug_images(cfg, batch["input"], batch,
                                   np.asarray(batch["target"]),
                                   np.asarray(hm_pred) * stride, hm, prefix)

@@ -435,11 +435,17 @@ class PoseHRNet(nn.Module):
 def remat_mode(cfg, is_train: bool) -> str:
     """'' (off), 'stem', 'blocks', or 'modules' — the in-model remat
     granularity.  'forward' (legacy whole-forward jax.checkpoint, handled in
-    train/state.py) maps to '' here."""
+    train/state.py) maps to '' here.  Unknown strings raise: a typo'd mode
+    would otherwise silently degrade to the whole-forward fallback that
+    cannot lower the HRNet peak (PERF.md) and OOM exactly like remat-off."""
     if not (bool(is_train) and bool(getattr(cfg.TPU, "REMAT", False))):
         return ""
     mode = str(getattr(cfg.TPU, "REMAT_MODE", "modules"))
-    return mode if mode in ("stem", "blocks", "modules") else ""
+    if mode not in ("stem", "blocks", "modules", "forward"):
+        raise ValueError(
+            f"TPU.REMAT_MODE={mode!r}: expected one of "
+            "'modules', 'stem', 'blocks', 'forward'")
+    return mode if mode != "forward" else ""
 
 
 def get_pose_net(cfg, is_train: bool = False, dtype=None) -> PoseHRNet:

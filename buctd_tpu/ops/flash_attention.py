@@ -421,32 +421,118 @@ def logged_flops() -> float:
     return float(sum(4.0 * bh * lq * lk * d for bh, lq, lk, d in TRACE_SHAPES))
 
 
+# ------------------------------------------------- SPMD batch partitioning ----
+# Attention is embarrassingly parallel over the folded batch*heads axis, but a
+# Mosaic custom call inside a sharded jit has no partitioning rule of its own —
+# GSPMD would replicate the operands (a full-batch all-gather per device).
+# custom_partitioning declares: dim 0 may shard, everything else replicates,
+# and each device runs the kernel on its own BH rows.  (The production layout
+# is data-parallel batch sharding — SURVEY.md §2.8 — so this is exact.)
+
+def _dim0_axis(arg_shapes, result_shape):
+    """The mesh axis (if any) the batch dim is sharded over, from the SPMD
+    suggestion for q (first operand) or the first result."""
+    for s in (arg_shapes[0], jax.tree.leaves(result_shape)[0]):
+        sh = getattr(s, "sharding", None)
+        spec = tuple(getattr(sh, "spec", ()) or ())
+        if spec and spec[0] is not None:
+            return spec[0]
+    return None
+
+
+def _batch_shardings(mesh, b_axis, shapes):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def one(s):
+        rank = len(s.shape)
+        if rank <= 1:       # the (1,) seed: replicated
+            return NamedSharding(mesh, PartitionSpec(*([None] * rank)))
+        return NamedSharding(mesh,
+                             PartitionSpec(b_axis, *([None] * (rank - 1))))
+
+    return jax.tree.map(one, shapes)
+
+
+def _make_spmd(inner, rule, need_replication, static_argnums=(4, 5, 6)):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    wrapped = custom_partitioning(inner, static_argnums=static_argnums)
+
+    def partition(*cb_args):
+        scale, dropout, interpret, mesh, arg_shapes, result_shape = cb_args
+
+        def lower_fn(*args):
+            return inner(*args[:4], scale, dropout, interpret, *args[4:])
+
+        b = _dim0_axis(arg_shapes, result_shape)
+        return (mesh, lower_fn,
+                _batch_shardings(mesh, b, result_shape),
+                _batch_shardings(mesh, b, tuple(arg_shapes)))
+
+    def infer(*cb_args):
+        _, _, _, mesh, arg_shapes, result_shape = cb_args
+        b = _dim0_axis(arg_shapes, result_shape)
+        return _batch_shardings(mesh, b, result_shape)
+
+    wrapped.def_partition(partition=partition,
+                          infer_sharding_from_operands=infer,
+                          sharding_rule=rule,
+                          need_replication_factors=need_replication)
+    return wrapped
+
+
+def _fwd_spmd_inner(q, k, v, seed, scale, dropout, interpret):
+    return _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret)
+
+
+def _bwd_spmd_inner(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
+    return _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret,
+                           lse, out, dout)
+
+
+# factors: b = batch*heads (shardable); i/j = q/kv token lengths; p = the
+# forward-padded lse length; d = head dim; m = lanes; s = the (1,) seed
+_FWD_SPMD = _make_spmd(           # need_replication in rule-appearance order
+    _fwd_spmd_inner,              # (the Shardy verifier requires sorted
+    "b i d, b j d, b j d, s -> b i d, b p m",   # special-factor indices)
+    ("i", "d", "j", "s", "p", "m"))
+_BWD_SPMD = _make_spmd(
+    _bwd_spmd_inner,
+    "b i d, b j d, b j d, s, b p m, b i d, b i d -> b i d, b j d, b j d",
+    ("i", "d", "j", "s", "p", "m"))
+
+
+def _seed1(seed):
+    return jnp.asarray(seed, jnp.int32).reshape(1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(q, k, v, seed=0, scale=1.0, dropout=0.0, interpret=False):
     """out = dropout(softmax(q k^T * scale)) @ v without materializing (L, L).
 
     q: (BH, Lq, d); k, v: (BH, Lk, d); seed: int32 (dropout stream, ignored when
     dropout == 0).  Returns f32 (BH, Lq, d).  Differentiable; the backward
-    regenerates dropout masks from the same seed.
+    regenerates dropout masks from the same seed.  Under a sharded jit the BH
+    axis partitions across the mesh (custom_partitioning above).
     """
     assert v.shape[2] == q.shape[2], (
         "flash_attention assumes one head dim (d_v == d_k); got "
         f"{v.shape[2]} != {q.shape[2]} — use the mapped-GEMM path instead")
     if _TRACE:
         TRACE_SHAPES.append((q.shape[0], q.shape[1], k.shape[1], q.shape[2]))
-    out, _ = _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret)
+    out, _ = _FWD_SPMD(q, k, v, _seed1(seed), scale, dropout, interpret)
     return out
 
 
 def _flash_fwd_rule(q, k, v, seed, scale, dropout, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret)
+    out, lse = _FWD_SPMD(q, k, v, _seed1(seed), scale, dropout, interpret)
     return out, (q, k, v, seed, lse, out)
 
 
 def _flash_bwd_rule(scale, dropout, interpret, res, dout):
     q, k, v, seed, lse, out = res
-    dq, dk, dv = _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret,
-                                 lse, out, dout)
+    dq, dk, dv = _BWD_SPMD(q, k, v, _seed1(seed), scale, dropout, interpret,
+                           lse, out, dout)
     return dq, dk, dv, jnp.zeros_like(jnp.asarray(seed))
 
 

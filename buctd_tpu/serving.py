@@ -93,8 +93,12 @@ class PoseEstimator:
         if key in self._compiled or len(self._compiled) < self.max_compiles:
             self._compiled.add(key)
             return key
-        fits = sorted(k for k in self._compiled
-                      if k[0] >= hb and k[1] >= wb and k[2] >= pb)
+        # cheapest CONTAINING bucket by padded cost (h*w*p) — tuple order
+        # would pick e.g. (256, 2048, 64) over (384, 384, 4) for a (256,
+        # 256, 2) call, a ~30x per-call pixels*poses blowup
+        fits = sorted((k for k in self._compiled
+                       if k[0] >= hb and k[1] >= wb and k[2] >= pb),
+                      key=lambda k: (k[0] * k[1] * k[2], k))
         if not fits:
             raise RuntimeError(
                 f"shape {key} needs a new compile but the max_compiles="

@@ -139,3 +139,37 @@ def test_dropout_forward_tiles_match_backward():
         lambda a: _flash_fwd_impl(a, a, a, 0, 1.0, 0.1, True), spec)
     assert lse0.shape[1] == 1024          # dropout-free: big-tile fast path
     assert lsed.shape[1] == 1536          # dropout: 768-tiled like the bwd
+
+
+def test_flash_partitions_over_batch_mesh():
+    """Under a sharded jit the custom_partitioning rule partitions the BH axis
+    across the mesh (each device runs the kernel on its rows) instead of
+    GSPMD replicating the operands; values and output sharding must match the
+    unsharded run — forward and grads."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8])
+    if devs.size < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    mesh = Mesh(devs, ("data",))
+    sh = NamedSharding(mesh, P("data", None, None))
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(8, 256, 48).astype(np.float32))
+    want = flash_attention(q, q, q, 0, 0.15, 0.0, True)
+
+    qs = jax.device_put(q, sh)
+    fwd = jax.jit(lambda a: flash_attention(a, a, a, 0, 0.15, 0.0, True),
+                  in_shardings=sh, out_shardings=sh)
+    got = fwd(qs)
+    assert got.sharding.is_equivalent_to(sh, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(a):
+        return flash_attention(a, a, a, 0, 0.15, 0.0, True).sum()
+
+    g_want = jax.grad(loss)(q)
+    g_got = jax.jit(jax.grad(loss), in_shardings=sh, out_shardings=sh)(qs)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=5e-4, rtol=1e-3)

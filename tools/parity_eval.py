@@ -116,7 +116,11 @@ def main():
                                      variables, out_dir, epoch=it, mesh=mesh)
         logger.info("=> parity round %d: AP %.4f", it, perf)
         if it < refine_iters - 1:  # feed results back (README.md:104 protocol)
-            res_file = os.path.join(out_dir, "results",
+            # per-process copy: see tools/test.py (proc>0 evaluate output is
+            # redirected to proc{q}/ by validate())
+            proc_dir = (out_dir if jax.process_index() == 0 else
+                        os.path.join(out_dir, f"proc{jax.process_index()}"))
+            res_file = os.path.join(proc_dir, "results",
                                     f"keypoints_test_results_epoch{it}.json")
             cfg.defrost()
             cfg.TEST.COCO_BBOX_FILE = res_file

@@ -132,8 +132,17 @@ def main():
                                              print_prefix=f"refine{it}")
         logger.info("=> refinement round %d: AP %.4f", it, perf)
         if it < refine_iters - 1:
-            # feed this round's results back as next round's conditions
-            res_file = os.path.join(final_output_dir, "results",
+            # feed this round's results back as next round's conditions.
+            # Every process reads its OWN copy (validate() redirects proc>0
+            # evaluate output to a proc{q}/ subdir): the merged result set is
+            # identical on every host, and reading another process's file
+            # would race its unsynchronized evaluate (or not exist at all on
+            # per-host filesystems).
+            import jax as _jax
+            proc_dir = (final_output_dir if _jax.process_index() == 0 else
+                        os.path.join(final_output_dir,
+                                     f"proc{_jax.process_index()}"))
+            res_file = os.path.join(proc_dir, "results",
                                     f"keypoints_test_results_epoch{it}.json")
             cfg.defrost()
             cfg.TEST.COCO_BBOX_FILE = res_file
