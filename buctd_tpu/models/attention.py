@@ -19,7 +19,12 @@ LINEAR_INIT = nn.initializers.normal(stddev=0.001)
 # engine for the long-sequence token attention (CoAM position attention,
 # TransPose encoder): 'auto' = pallas flash kernel on TPU backends for
 # L_q*L_k >= 512*512, mapped 2-D GEMMs elsewhere; 'flash'/'mapped' force.
-# cfg.TPU.ATTENTION_ENGINE is exported here by models.get_model.
+# cfg.TPU.ATTENTION_ENGINE is exported here by models.get_model.  Known
+# limitation (accepted): the knob is process-global, read at TRACE time — two
+# live models wanting different engines must set the env var around each
+# build/trace themselves (get_model only overwrites its own previous export,
+# never a user-set value; threading a field through six module dataclasses
+# was judged worse than this note).
 _ENGINE_ENV = "BUCTD_ATTENTION_ENGINE"
 _FLASH_MIN_TOKENS = 512 * 512
 
