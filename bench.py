@@ -18,6 +18,10 @@ import types
 
 import numpy as np
 
+from buctd_tpu.utils.relay import ensure_live_backend
+
+ensure_live_backend()   # dead-relay guard: CPU fallback instead of a hang
+
 from buctd_tpu.utils.compcache import enable as _enable_compcache
 
 _enable_compcache()
@@ -57,6 +61,12 @@ def measure_tpu():
     from buctd_tpu.ops import get_final_preds, render_condition_colored
     from buctd_tpu.ops.warp import warp_affine_aligned
 
+    global B, STEPS
+    if jax.devices()[0].platform == "cpu":
+        # relay-down / forced-CPU fallback: b384 W48 on one CPU core would
+        # take hours — shrink so the driver still gets a labeled JSON line
+        B, STEPS = 4, 2
+
     cfg = _flagship_cfg()
     model = get_model(cfg, dtype=jnp.bfloat16)
     img_w, img_h = cfg.MODEL.IMAGE_SIZE
@@ -71,6 +81,8 @@ def measure_tpu():
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x0, train=False))
     variables = jax.jit(lambda: jax.tree.map(
         lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+    from buctd_tpu.models.fuse import maybe_fuse_prenet
+    model, variables = maybe_fuse_prenet(cfg, model, variables)
 
     mean = jnp.array([0.485, 0.456, 0.406])
     std = jnp.array([0.229, 0.224, 0.225])
@@ -154,7 +166,14 @@ def _zeros_like_init(model, x0):
         lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
 
 
-def _time_fetch(run, steps=STEPS):
+def _on_cpu():
+    import jax
+
+    return jax.devices()[0].platform == "cpu"
+
+
+def _time_fetch(run, steps=None):
+    steps = steps or (2 if _on_cpu() else STEPS)
     run(1)
     run(2)
     t0 = time.perf_counter()
@@ -170,8 +189,12 @@ def measure_forward(cfg_path, batch):
     from buctd_tpu.models import get_model
 
     cfg = _cfg_for(cfg_path)
+    if _on_cpu():
+        batch = 2    # relay-down fallback: keep the labeled JSON line cheap
     model = get_model(cfg, dtype=jnp.bfloat16)
     variables = _zeros_like_init(model, jnp.zeros((1, 384, 288, 6), jnp.float32))
+    from buctd_tpu.models.fuse import maybe_fuse_prenet
+    model, variables = maybe_fuse_prenet(cfg, model, variables)
     x = jnp.array(np.random.RandomState(0)
                   .rand(batch, 384, 288, 6).astype(np.float32))
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)
@@ -191,7 +214,7 @@ def measure_forward(cfg_path, batch):
         mfu = flops / dt / V5E_BF16_PEAK
     except Exception:
         mfu = float("nan")
-    return batch / dt, mfu
+    return batch / dt, mfu, batch
 
 
 def measure_refine(poses=16):
@@ -204,6 +227,8 @@ def measure_refine(poses=16):
 
     cfg = _cfg_for("/root/repo/experiments/coco/buctd/coam_w48_384x288.yaml",
                    ["TPU.EVAL_DTYPE", "bfloat16"])
+    if _on_cpu():
+        poses = 2    # relay-down fallback
     model = get_model(cfg, dtype=jnp.bfloat16)
     J = int(cfg.MODEL.NUM_JOINTS)
     variables = _zeros_like_init(model, jnp.zeros((1, 384, 288, 6), jnp.float32))
@@ -223,7 +248,7 @@ def measure_refine(poses=16):
             acc = s if acc is None else acc + s
         return float(acc)
 
-    return _time_fetch(run) * 1e3   # ms/image
+    return _time_fetch(run) * 1e3, poses   # ms/image
 
 
 def measure_torch_cpu():
@@ -307,22 +332,23 @@ def main():
     # headline model, not just preNet (VERDICT r2 item 4)
     if os.environ.get("BUCTD_BENCH_HEADLINE_ONLY") != "1":
         try:
-            cps, m = measure_forward(
+            cps, m, b = measure_forward(
                 "/root/repo/experiments/coco/buctd/coam_w48_384x288.yaml", 128)
-            record["coam_w48_fwd_crops_per_sec_b128"] = round(cps, 2)
+            record[f"coam_w48_fwd_crops_per_sec_b{b}"] = round(cps, 2)
             record["coam_w48_fwd_mfu"] = round(m, 4) if m == m else None
         except Exception as e:
             print(f"# coam bench failed: {e!r}", file=sys.stderr)
         try:
-            cps, m = measure_forward(
+            cps, m, b = measure_forward(
                 "/root/repo/experiments/coco/buctd/transpose_h_384x288.yaml",
                 64)
-            record["transpose_h_fwd_crops_per_sec_b64"] = round(cps, 2)
+            record[f"transpose_h_fwd_crops_per_sec_b{b}"] = round(cps, 2)
             record["transpose_h_fwd_mfu"] = round(m, 4) if m == m else None
         except Exception as e:
             print(f"# transpose bench failed: {e!r}", file=sys.stderr)
         try:
-            record["coam_refine3x_ms_per_image_p16"] = round(measure_refine(16), 1)
+            ms, p = measure_refine(16)
+            record[f"coam_refine3x_ms_per_image_p{p}"] = round(ms, 1)
         except Exception as e:
             print(f"# refine bench failed: {e!r}", file=sys.stderr)
     print(json.dumps(record))

@@ -20,6 +20,16 @@ if os.environ.get("BUCTD_FORCE_CPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    # dead-relay guard: the axon PJRT client hangs forever in backend init when
+    # the tunnel daemon is down.  A CLI should fail fast with a clear message,
+    # not silently train on CPU — set BUCTD_FORCE_CPU=1 to run on CPU on purpose.
+    from buctd_tpu.utils.relay import relay_alive
+
+    if not relay_alive():
+        raise SystemExit(
+            "buctd_tpu: axon relay tunnel unreachable (TPU backend init would "
+            "hang). Set BUCTD_FORCE_CPU=1 to run on CPU instead.")
 
 from buctd_tpu.utils.compcache import enable as _enable_compcache  # noqa: E402
 
