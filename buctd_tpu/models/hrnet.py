@@ -377,15 +377,39 @@ class PreNet(nn.Module):
         return x0 + x1
 
 
+class FusedPreNet(nn.Module):
+    """Eval-only exact refactoring of PreNet: the three BNs are affine at eval
+    and fold into the conv weights, and the two parallel 7x7 convs (rgb-path
+    64->3 and cond-path 3->3, same stride/padding) merge into ONE 7x7 conv over
+    67 concatenated channels — a sum of convs over disjoint inputs IS a conv
+    over their concat.  Exact up to float reassociation; params are built from
+    trained PreNet variables by models/fuse.py (never trained directly).
+    Cuts the full-resolution stem from 3 convs + 3 BNs + add to 2 convs."""
+
+    first_kernel: int = 3   # 3 for HRNet PreNet, 7 for pose_resnet's
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, rgb, cond):
+        h = conv(64, self.first_kernel, 1, bias=True, name="a",
+                 dtype=self.dtype)(rgb)
+        h = jnp.concatenate([h, cond.astype(h.dtype)], axis=-1)
+        return conv(3, 7, 1, bias=True, name="b", dtype=self.dtype)(h)
+
+
 class PoseHRNet(nn.Module):
     """pose_hrnet / BUCTD-preNet.  Input NHWC with C = 3 (plain) or 3 + cond channels.
 
     Returns (B, h/4, w/4, num_joints) heatmaps (NHWC).
+
+    ``fused_prenet`` swaps the PreNet for its exact eval-time fusion (see
+    FusedPreNet); set via models/fuse.py::maybe_fuse_prenet, never directly.
     """
 
     spec: HRNetSpec
     dtype: Any = None
     remat: str = ""
+    fused_prenet: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, film=None, lambda_vec=None,
@@ -403,11 +427,16 @@ class PoseHRNet(nn.Module):
         (zero-init last layer) so an untrained head is a near-identity."""
         if self.spec.use_pre_net:
             assert x.shape[-1] >= 6, "preNet requires RGB + 3-channel condition input"
-            # remat the preNet too: its full-resolution 3-channel temps pad
-            # 1.8x on TPU (216 MB each at b192) for a ~2%-of-FLOPs stem
-            prenet_cls = _maybe_remat(PreNet, self.remat, train)
-            x = prenet_cls(name="_prenet", dtype=self.dtype)(
-                x[..., :3], x[..., 3:6], train)
+            if self.fused_prenet:
+                assert not train, "fused preNet is an eval-only transform"
+                x = FusedPreNet(first_kernel=3, name="_prenet_fused",
+                                dtype=self.dtype)(x[..., :3], x[..., 3:6])
+            else:
+                # remat the preNet too: its full-resolution 3-channel temps pad
+                # 1.8x on TPU (216 MB each at b192) for a ~2%-of-FLOPs stem
+                prenet_cls = _maybe_remat(PreNet, self.remat, train)
+                x = prenet_cls(name="_prenet", dtype=self.dtype)(
+                    x[..., :3], x[..., 3:6], train)
         ys = HRNetTrunk(spec=self.spec, name="_trunk", dtype=self.dtype,
                         remat=self.remat)(x, train=train)
         feats = ys[0]

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .hrnet import BasicBlock, Bottleneck, KERNEL_INIT, batch_norm, conv
+from .hrnet import (BasicBlock, Bottleneck, FusedPreNet, KERNEL_INIT,
+                    batch_norm, conv)
 
 RESNET_SPEC = {
     18: ("BASIC", (2, 2, 2, 2)),
@@ -103,13 +104,20 @@ class ResNetPreNet(nn.Module):
 class PoseResNet(nn.Module):
     spec: ResNetSpec
     dtype: Any = None
+    fused_prenet: bool = False  # set via models/fuse.py::maybe_fuse_prenet
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         spec, dt = self.spec, self.dtype
         if spec.use_pre_net:
             assert x.shape[-1] >= 6, "preNet requires RGB + 3-channel condition input"
-            x = ResNetPreNet(name="_prenet", dtype=dt)(x[..., :3], x[..., 3:6], train=train)
+            if self.fused_prenet:
+                assert not train, "fused preNet is an eval-only transform"
+                x = FusedPreNet(first_kernel=7, name="_prenet_fused",
+                                dtype=dt)(x[..., :3], x[..., 3:6])
+            else:
+                x = ResNetPreNet(name="_prenet", dtype=dt)(
+                    x[..., :3], x[..., 3:6], train=train)
 
         x = conv(64, 7, 2, name="conv1", dtype=dt)(x)
         x = batch_norm(name="bn1", dtype=dt)(x, use_running_average=not train)

@@ -71,6 +71,9 @@ class PoseEstimator:
         else:
             self.variables = template
 
+        from .models.fuse import maybe_fuse_prenet
+        self.model, self.variables = maybe_fuse_prenet(cfg, self.model,
+                                                       self.variables)
         self.colors = (np.asarray(colors) if colors is not None
                        else rainbow_colors(self.num_joints))
         self.refine = make_refine_fn(cfg, self.model, self.colors,

@@ -196,6 +196,47 @@ def test_pose_hrnet_prenet_parity():
     _compare(torch_model, flax_model, x)
 
 
+def test_pose_hrnet_prenet_fused_parity():
+    """The eval-time fused preNet (models/fuse.py) must match the TORCH
+    reference directly, with non-trivial BN running stats (fresh-init stats are
+    mean=0/var=1, which would hide folding bugs)."""
+    import jax
+
+    from buctd_tpu.models.fuse import maybe_fuse_prenet
+
+    cfg = _cfg(opts=["MODEL.EXTRA.USE_PRE_NET", "True",
+                     "MODEL.CONDITIONAL_TOPDOWN", "True"])
+    import models.pose_hrnet as ref_hrnet
+    from buctd_tpu.models.hrnet import get_pose_net
+
+    torch_model = ref_hrnet.get_pose_net(cfg, is_train=False)
+    with torch.no_grad():
+        for m in torch_model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+    torch_model.eval()
+
+    x = np.random.RandomState(7).randn(2, 6, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = torch_model(torch.from_numpy(x)).numpy()
+
+    flax_model = get_pose_net(cfg)
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    template = flax_model.init(jax.random.PRNGKey(0), x_nhwc, train=False)
+    variables = torch_to_flax(torch_model.state_dict(), template)
+    fused_model, fused_vars = maybe_fuse_prenet(cfg, flax_model, variables)
+    assert fused_model.fused_prenet
+    got = np.transpose(
+        np.asarray(fused_model.apply(fused_vars, x_nhwc, train=False)),
+        (0, 3, 1, 2))
+    scale = np.abs(want).max() + 1e-12
+    err = np.abs(got - want).max() / scale
+    assert err < 2e-3, f"fused preNet vs torch mismatch {err:.2e}"
+
+
 def test_forward_lamda_and_feature_parity():
     """forward_lamda (FiLM modulation, pose_hrnet.py:497-540) and forward_feature
     (:542-576) vs our film=/return_features= call-time options."""

@@ -49,7 +49,8 @@ def get_model(config, model_path):
         variables = load_params(model_path, template=template)
     else:
         variables = template
-    return model, variables
+    from buctd_tpu.models.fuse import maybe_fuse_prenet
+    return maybe_fuse_prenet(config, model, variables)
 
 
 import functools

@@ -5,6 +5,7 @@
 set -x
 cd /root/repo
 python tools/bench_flash.py --perf --parity
+python tools/bench_stem.py 256 384
 python tools/bench_coam.py 64 128 192
 python tools/bench_transpose.py 16 64 128
 python tools/bench_refine.py

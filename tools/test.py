@@ -84,6 +84,8 @@ def main():
     from buctd_tpu.models import compute_dtype
     model = get_model(cfg, is_train=False, dtype=compute_dtype(cfg, "EVAL_DTYPE"))
     variables = load_variables(cfg, model, final_output_dir)
+    from buctd_tpu.models.fuse import maybe_fuse_prenet
+    model, variables = maybe_fuse_prenet(cfg, model, variables)
     img_w, img_h = cfg.MODEL.IMAGE_SIZE
     logger.info(get_model_summary(model, variables,
                                   (1, img_h, img_w, num_input_channels(cfg))))
