@@ -200,6 +200,9 @@ def default_config() -> CN:
     # 'auto' = pallas flash kernel (ops/flash_attention.py) on TPU for
     # L_q*L_k >= 512^2, mapped 2-D GEMMs elsewhere; 'flash'/'mapped' force
     _C.TPU.ATTENTION_ENGINE = "auto"
+    # background staging depth for the train/eval loops (utils/prefetch.py):
+    # batch i+1's host work + device transfer overlap step i.  0 = synchronous.
+    _C.TPU.PREFETCH = 2
     # eval-time exact preNet fusion (models/fuse.py): BNs folded into conv
     # weights + the two parallel 7x7 stems merged into one conv.  'auto'/'on'
     # = fuse wherever maybe_fuse_prenet is wired (tools/test.py, serving,

@@ -141,13 +141,22 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
     idx = 0
     end = time.time()
 
-    for i, batch in enumerate(val_loader):
+    def _stage(batch):
         dev_batch = {k: batch[k] for k in
                      ("input", "target", "target_weight", "center", "scale",
                       "cond_joints", "cond_joints_vis")}
         if mesh is not None:
             from ..parallel.mesh import shard_batch
             dev_batch = shard_batch(dev_batch, mesh)
+        return batch, dev_batch
+
+    from ..utils.prefetch import prefetch
+
+    # stage (host decode/preprocess + device transfer) batch i+1 while the
+    # device runs step i — this loop fetches loss/acc every step, so without
+    # prefetch the device idles through every batch's input work
+    for i, (batch, dev_batch) in enumerate(prefetch(
+            val_loader, _stage, int(getattr(cfg.TPU, "PREFETCH", 2)))):
         preds, maxvals, loss, a, cnt, out_hm = step(variables, dev_batch)
         preds, maxvals = host_local_rows(preds), host_local_rows(maxvals)
 
@@ -315,12 +324,18 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
     image_path = []
     idx = 0
 
-    for i, batch in enumerate(val_loader):
+    def _stage(batch):
         dev_batch = {k: batch[k] for k in
                      ("input", "target", "target_weight", "center", "scale")}
         if mesh is not None:
             from ..parallel.mesh import shard_batch
             dev_batch = shard_batch(dev_batch, mesh)
+        return batch, dev_batch
+
+    from ..utils.prefetch import prefetch
+
+    for i, (batch, dev_batch) in enumerate(prefetch(
+            val_loader, _stage, int(getattr(cfg.TPU, "PREFETCH", 2)))):
         B = batch["input"].shape[0]
         n = int(batch["valid"].sum())
         for lam in lambda_vals:
@@ -415,13 +430,19 @@ def train_epoch(cfg, train_loader, model, state, train_step, epoch, rng,
     losses, acc = AverageMeter(), AverageMeter()
     end = time.time()
 
-    for i, batch in enumerate(train_loader):
-        data_time.update(time.time() - end)
+    def _stage(batch):
         dev_batch = {"input": batch["input"], "target": batch["target"],
                      "target_weight": batch["target_weight"]}
         if mesh is not None:
             from ..parallel.mesh import shard_batch
             dev_batch = shard_batch(dev_batch, mesh)
+        return batch, dev_batch
+
+    from ..utils.prefetch import prefetch
+
+    for i, (batch, dev_batch) in enumerate(prefetch(
+            train_loader, _stage, int(getattr(cfg.TPU, "PREFETCH", 2)))):
+        data_time.update(time.time() - end)
         # the step folds state.step into this epoch key on device (state.py)
         state, metrics = train_step(state, dev_batch, rng)
 
