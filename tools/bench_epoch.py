@@ -78,6 +78,8 @@ def main():
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--device-pipeline", action="store_true")
     ap.add_argument("--device-synthesis", action="store_true")
+    ap.add_argument("--prefetch", type=int, default=None,
+                    help="override TPU.PREFETCH (0 = synchronous loop)")
     a = ap.parse_args()
 
     import jax
@@ -101,6 +103,8 @@ def main():
         opts += ["TPU.DEVICE_PIPELINE", "True"]
     if a.device_synthesis:
         opts += ["TPU.DEVICE_SYNTHESIS", "True"]
+    if a.prefetch is not None:
+        opts += ["TPU.PREFETCH", str(a.prefetch)]
     cfg = default_config()
     update_config(cfg, types.SimpleNamespace(
         cfg="/root/repo/experiments/coco/buctd/prenet_w48_384x288.yaml",
@@ -133,11 +137,16 @@ def main():
     print(f"warm epoch: {time.perf_counter() - t0:.1f}s over {n} crops "
           f"(incl. compiles), loss={float(loss):.5f}", flush=True)
 
-    # timed epoch
+    # timed epoch — through the same background staging as train_epoch
+    from buctd_tpu.utils.prefetch import prefetch
+
+    def stage(batch):
+        return batch, {k: batch[k] for k in ("input", "target", "target_weight")}
+
+    depth = int(getattr(cfg.TPU, "PREFETCH", 2))
     t0 = time.perf_counter()
     n = 0
-    for batch in loader:
-        dev = {k: batch[k] for k in ("input", "target", "target_weight")}
+    for batch, dev in prefetch(loader, stage, depth):
         state, metrics = step(state, dev, d_rng)
         n += batch["input"].shape[0]
     _ = float(metrics["loss"])       # fence the tail

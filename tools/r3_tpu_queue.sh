@@ -11,5 +11,7 @@ python tools/bench_transpose.py 16 64 128
 python tools/bench_refine.py
 python tools/bench_train.py --cfg experiments/coco/buctd/coam_w48_384x288.yaml 32 64
 python tools/bench_epoch.py --samples 256 --batch 64
+python tools/bench_epoch.py --samples 256 --batch 64 --prefetch 0
 python tools/bench_epoch.py --samples 256 --batch 64 --device-pipeline --device-synthesis
+python tools/bench_epoch.py --samples 256 --batch 64 --device-pipeline --device-synthesis --prefetch 0
 python bench.py
