@@ -134,6 +134,10 @@ def default_config() -> CN:
     # repo — so these knobs are ours): '' | 'cutmix' | 'mixup', Beta(α, α) draw.
     _C.TRAIN.MIX = ""
     _C.TRAIN.MIX_ALPHA = 1.0
+    # gradient accumulation (ours): average k micro-batch grads into one
+    # optimizer step (optax.MultiSteps) — effective batch = k x BATCH_SIZE_PER_GPU
+    # x mesh size on memory-constrained chips.  LR milestones see optimizer steps.
+    _C.TRAIN.GRAD_ACCUM_STEPS = 1
 
     _C.TEST = CN()
     _C.TEST.BATCH_SIZE_PER_GPU = 32

@@ -46,7 +46,12 @@ def make_lr_schedule(cfg, steps_per_epoch: int):
 
 
 def make_optimizer(cfg, steps_per_epoch: int):
-    sched = make_lr_schedule(cfg, steps_per_epoch)
+    # gradient accumulation (no reference counterpart): k micro-batches average
+    # into one optimizer step, so large effective batches fit small meshes.
+    # The LR milestones count OPTIMIZER steps, so the per-epoch step count the
+    # schedule sees shrinks by k (the loader still yields micro-batches).
+    k = max(int(getattr(cfg.TRAIN, "GRAD_ACCUM_STEPS", 1)), 1)
+    sched = make_lr_schedule(cfg, max(steps_per_epoch // k, 1))
     if cfg.TRAIN.OPTIMIZER == "sgd":
         tx = optax.chain(
             optax.add_decayed_weights(float(cfg.TRAIN.WD)),
@@ -57,6 +62,9 @@ def make_optimizer(cfg, steps_per_epoch: int):
         tx = optax.adam(sched)  # reference passes lr only (utils.py:267-270)
     else:
         raise ValueError(f"unknown optimizer {cfg.TRAIN.OPTIMIZER}")
+    if k > 1:
+        # averages grads over k update calls; params change only on the k-th
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
     return tx, sched
 
 

@@ -122,6 +122,70 @@ def test_sharded_train_step_runs_and_learns():
     assert losses[-1] < losses[1], f"loss did not decrease: {losses}"
 
 
+def test_grad_accumulation_matches_single_step():
+    """TRAIN.GRAD_ACCUM_STEPS=k (optax.MultiSteps): params frozen for k-1
+    micro-steps, and — on the same repeated micro-batch, where the average of
+    k identical grads IS the grad — the k-th update equals the k=1 update."""
+    from buctd_tpu.models import get_model
+    from buctd_tpu.train.state import create_train_state, make_train_step
+
+    tiny = ["MODEL.IMAGE_SIZE", "[64, 64]", "MODEL.HEATMAP_SIZE", "[16, 16]",
+            "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+            "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+            "MODEL.EXTRA.STAGE4.NUM_MODULES", "1"]
+    rng = np.random.RandomState(0)
+    B = 4
+    from buctd_tpu.ops import generate_target
+    joints = rng.rand(B, 17, 2).astype(np.float32) * 56 + 4
+    tgt, _ = generate_target(jnp.array(joints), jnp.ones((B, 17)),
+                             (64, 64), (16, 16), 2)
+    batch = {
+        "input": rng.rand(B, 64, 64, 3).astype(np.float32),
+        "target": np.asarray(tgt).transpose(0, 2, 3, 1),
+        "target_weight": np.ones((B, 17), np.float32),
+    }
+    d_rng = jax.random.PRNGKey(1)
+
+    def run(k, n_micro):
+        cfg = _small_cfg(tiny + ["TRAIN.GRAD_ACCUM_STEPS", str(k)])
+        model = get_model(cfg)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 3)), steps_per_epoch=10)
+        # snapshot to host: the step donates its state argument, so device
+        # buffers read after stepping would be invalidated/reused
+        snap = lambda s: jax.tree.map(np.asarray, s.params)  # noqa: E731
+        p0 = snap(state)
+        step = make_train_step(cfg, model)
+        params = []
+        for _ in range(n_micro):
+            state, _ = step(state, batch, d_rng)
+            params.append(snap(state))
+        return p0, params
+
+    p0, (p1, p2) = run(2, 2)
+    # micro-step 1 of 2: grads accumulated, params untouched
+    assert all(np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(p0), jax.tree.leaves(p1)))
+    # micro-step 2: update applied, equal to the k=1 single-step update
+    _, (ref,) = run(1, 1)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_lr_schedule_counts_optimizer_steps():
+    """LR milestones fire after e*steps_per_epoch OPTIMIZER steps; with k=4
+    accumulation the schedule sees steps_per_epoch//4 per epoch."""
+    from buctd_tpu.train.state import make_optimizer
+
+    cfg = _small_cfg(["TRAIN.LR", "0.1", "TRAIN.LR_FACTOR", "0.1",
+                      "TRAIN.LR_STEP", "[2, 3]",
+                      "TRAIN.GRAD_ACCUM_STEPS", "4"])
+    _, sched = make_optimizer(cfg, steps_per_epoch=40)  # 40 micro = 10 real
+    assert float(sched(19)) == pytest.approx(0.1)       # epoch 1 (real steps)
+    assert float(sched(20)) == pytest.approx(0.01)      # epoch-2 boundary
+    assert float(sched(30)) == pytest.approx(0.001)     # epoch-3 boundary
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from buctd_tpu.models import get_model
     from buctd_tpu.train.state import create_train_state
@@ -132,6 +196,8 @@ def test_checkpoint_roundtrip(tmp_path):
         "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
         "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
         "MODEL.EXTRA.STAGE4.NUM_MODULES", "1",
+        # accumulation on: the MultiStepsState wrapper must round-trip too
+        "TRAIN.GRAD_ACCUM_STEPS", "2",
     ])
     model = get_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0),
