@@ -21,10 +21,12 @@ from .data.joints_dataset import rainbow_colors
 logger = logging.getLogger(__name__)
 
 # Explicit bucket tables: every compiled program shape is one of
-# (img_h_bucket, img_w_bucket, pose_bucket).  On this relay a surprise compile
-# is 100-800 s (CLAUDE.md), so the tables are the compile-cost contract.
+# (img_h_bucket, img_w_bucket, pose_bucket) — plus an image-count bucket for
+# the batched path.  On this relay a surprise compile is 100-800 s (CLAUDE.md),
+# so the tables are the compile-cost contract.
 IMG_BUCKETS = (256, 384, 512, 640, 768, 1024, 1536, 2048)
 POSE_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+COUNT_BUCKETS = (2, 4, 8)   # images per batched program (1 = the unbatched path)
 
 
 def _bucket(v: int, buckets) -> int:
@@ -78,6 +80,7 @@ class PoseEstimator:
                        else rainbow_colors(self.num_joints))
         self.refine = make_refine_fn(cfg, self.model, self.colors,
                                      n_iters=max(int(refine_iters), 1))
+        self._refine_batch = None   # built lazily (predict_batch)
         self.max_compiles = int(max_compiles)
         self._compiled: set = set()   # (hb, wb, pb) shapes already jit-compiled
         for h, w, p in (precompile or ()):
@@ -151,6 +154,88 @@ class PoseEstimator:
         return out
 
     def predict_many(self, images, conditions, vis_thres: float = 0.0) -> list:
-        """Convenience loop over images (each with its own condition set)."""
+        """Convenience loop over images (each with its own condition set).
+        For throughput across many images prefer ``predict_batch``."""
         return [self.predict(img, conds, vis_thres)
                 for img, conds in zip(images, conditions)]
+
+    # -- batched multi-image path ------------------------------------------
+    def _canon(self, image, condition_poses):
+        image = np.asarray(image)
+        if image.dtype != np.uint8:
+            image = np.clip(image, 0, 255).astype(np.uint8)
+        conds = np.asarray(condition_poses, np.float32)
+        if conds.ndim == 2:
+            conds = conds[None]
+        if conds.shape[-1] == 2:
+            conds = np.concatenate(
+                [conds, np.ones((*conds.shape[:-1], 1), np.float32)], -1)
+        return image, conds
+
+    def predict_batch(self, images, conditions, vis_thres: float = 0.0) -> list:
+        """Process many (image, condition_poses) pairs, batching same-bucket
+        images into single vmapped programs (the model forward then runs over
+        all images' crops at once).  Returns a list of (P_i, J, 3) arrays in
+        input order.  Batched program shapes (n, h, w, p) share the same
+        compile budget; when the budget blocks a batch shape, those images
+        fall back to the per-image path."""
+        import jax
+        import jax.numpy as jnp
+
+        pairs = [self._canon(im, cs) for im, cs in zip(images, conditions)]
+        groups: dict = {}
+        for idx, (im, cs) in enumerate(pairs):
+            key = (_bucket(im.shape[0], IMG_BUCKETS),
+                   _bucket(im.shape[1], IMG_BUCKETS),
+                   _bucket(cs.shape[0], POSE_BUCKETS))
+            groups.setdefault(key, []).append(idx)
+
+        if self._refine_batch is None:
+            self._refine_batch = jax.jit(jax.vmap(
+                lambda v, im, c, wh: self.refine(v, im, c, img_wh=wh),
+                in_axes=(None, 0, 0, 0)))
+
+        out: list = [None] * len(pairs)
+        for (hb, wb, pb), idxs in groups.items():
+            pos = 0
+            while pos < len(idxs):
+                chunk = idxs[pos:pos + COUNT_BUCKETS[-1]]
+                pos += len(chunk)
+                if len(chunk) == 1:
+                    out[chunk[0]] = self.predict(*pairs[chunk[0]], vis_thres)
+                    continue
+                nb = _bucket(len(chunk), COUNT_BUCKETS)
+                bkey = (nb, hb, wb, pb)
+                if not (bkey in self._compiled
+                        or len(self._compiled) < self.max_compiles):
+                    logger.warning("batched shape %s needs a new compile but "
+                                   "the budget is spent; falling back to the "
+                                   "per-image path", bkey)
+                    for q in chunk:
+                        out[q] = self.predict(*pairs[q], vis_thres)
+                    continue
+                self._compiled.add(bkey)
+                imgs = np.zeros((nb, hb, wb, 3), np.uint8)
+                cnds = np.zeros((nb, pb, self.num_joints, 3), np.float32)
+                whs = np.ones((nb, 2), np.float32)
+                for row, q in enumerate(chunk):
+                    im, cs = pairs[q]
+                    imgs[row, :im.shape[0], :im.shape[1]] = im
+                    cnds[row, :cs.shape[0]] = cs
+                    if cs.shape[0] < pb:   # pad with copies of the first pose
+                        cnds[row, cs.shape[0]:] = cs[:1]
+                    whs[row] = (im.shape[1], im.shape[0])
+                for row in range(len(chunk), nb):   # pad rows: repeat the last
+                    imgs[row], cnds[row], whs[row] = (imgs[len(chunk) - 1],
+                                                      cnds[len(chunk) - 1],
+                                                      whs[len(chunk) - 1])
+                preds, maxvals = self._refine_batch(
+                    self.variables, jnp.asarray(imgs), jnp.asarray(cnds),
+                    jnp.asarray(whs))
+                preds, maxvals = np.asarray(preds), np.asarray(maxvals)
+                for row, q in enumerate(chunk):
+                    P = pairs[q][1].shape[0]
+                    res = np.concatenate([preds[row], maxvals[row]], axis=2)[:P]
+                    res[res[:, :, 2] < vis_thres] = np.nan
+                    out[q] = res
+        return out

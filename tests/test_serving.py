@@ -61,3 +61,52 @@ def test_pose_estimator_compile_budget():
     with pytest.raises(RuntimeError, match="max_compiles"):
         est.predict(img_small, conds)
     assert len(est._compiled) == 2
+
+
+def test_pose_estimator_predict_batch_matches_per_image():
+    """predict_batch groups same-bucket images into one vmapped program; results
+    must match the per-image path (padded rows/poses must not leak)."""
+    from buctd_tpu.serving import PoseEstimator
+
+    cfg = _cfg(TINY)
+    est = PoseEstimator(cfg, refine_iters=1)
+
+    rng = np.random.RandomState(3)
+    # three same-bucket images (<=256) with different true sizes + pose counts,
+    # plus one odd-bucket image to exercise the grouping
+    imgs = [rng.randint(0, 255, (180, 240, 3)).astype(np.uint8),
+            rng.randint(0, 255, (200, 220, 3)).astype(np.uint8),
+            rng.randint(0, 255, (160, 256, 3)).astype(np.uint8),
+            rng.randint(0, 255, (300, 380, 3)).astype(np.uint8)]
+    conds = [rng.uniform(30, 150, (2, 17, 2)).astype(np.float32),
+             rng.uniform(30, 150, (3, 17, 2)).astype(np.float32),
+             rng.uniform(30, 150, (1, 17, 2)).astype(np.float32),
+             rng.uniform(30, 250, (2, 17, 2)).astype(np.float32)]
+
+    batched = est.predict_batch(imgs, conds)
+    for i, (im, cs) in enumerate(zip(imgs, conds)):
+        single = est.predict(im, cs)
+        assert batched[i].shape == single.shape
+        np.testing.assert_allclose(batched[i], single, atol=1e-3, rtol=1e-3)
+
+
+def test_pose_estimator_predict_batch_budget_fallback():
+    """When the compile budget blocks a batched shape, those images fall back
+    to the per-image path instead of compiling."""
+    from buctd_tpu.serving import PoseEstimator
+
+    cfg = _cfg(TINY)
+    est = PoseEstimator(cfg, refine_iters=1, max_compiles=1)
+
+    rng = np.random.RandomState(4)
+    imgs = [rng.randint(0, 255, (120, 140, 3)).astype(np.uint8)
+            for _ in range(2)]
+    conds = [rng.uniform(20, 100, (2, 17, 2)).astype(np.float32)
+             for _ in range(2)]
+    est.predict(imgs[0], conds[0])          # spends the 1-compile budget
+    assert len(est._compiled) == 1
+    out = est.predict_batch(imgs, conds)    # batch shape blocked -> per-image
+    assert all(o.shape == (2, 17, 3) for o in out)
+    # still only the single (256,256,2) program; no (2,...) batch key compiled
+    assert all(len(k) == 3 for k in est._compiled)
+    assert len(est._compiled) == 1
