@@ -221,3 +221,40 @@ def test_convert_cli_roundtrip(tmp_path):
         want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(fm.apply(v, x, train=False)).transpose(0, 3, 1, 2)
     assert np.abs(got - want).max() / (np.abs(want).max() + 1e-12) < 2e-3
+
+
+@pytest.mark.slow
+def test_serve_cli(tmp_path):
+    """tools/serve.py: manifest in -> batched predictions JSON out."""
+    import cv2
+
+    rng = np.random.RandomState(0)
+    entries = []
+    for i in range(3):
+        img = rng.randint(0, 255, (160 + 10 * i, 200, 3)).astype(np.uint8)
+        path = str(tmp_path / f"img{i}.jpg")
+        cv2.imwrite(path, img)
+        poses = rng.uniform(30, 120, (2, 17, 3))
+        poses[:, :, 2] = 1.0
+        entries.append({"image": path, "poses": poses.tolist()})
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(json.dumps(entries))
+    out = tmp_path / "results.json"
+
+    env = dict(os.environ,
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+               + " --xla_force_host_platform_device_count=8",
+               BUCTD_FORCE_CPU="1")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "serve.py"),
+           "--cfg", os.path.join(REPO, "experiments/coco/hrnet/w32_384x288_adam_lr1e-3.yaml"),
+           "--manifest", str(manifest), "--out", str(out),
+           *TINY_OPTS]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=os.path.join(REPO, "tools"), timeout=900)
+    assert r.returncode == 0, r.stderr[-4000:]
+    got = json.loads(out.read_text())
+    assert len(got) == 3
+    for e in got:
+        preds = np.asarray(e["predictions"], dtype=object)
+        assert preds.shape[:3] == (2, 17, 3)
+    assert "served 3 images" in r.stdout
