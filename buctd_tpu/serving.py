@@ -43,7 +43,8 @@ class PoseEstimator:
     shapes are ever compiled.  Once the budget is spent, new shapes are padded up
     into the smallest already-compiled bucket that fits (a warning is logged);
     if none fits, the call raises instead of silently paying a fresh multi-minute
-    compile.  ``precompile=[(h, w, p), ...]`` warms chosen shapes at startup.
+    compile.  ``precompile=[(h, w, p) or (n, h, w, p), ...]`` warms chosen
+    shapes at startup (4-tuples warm the batched predict_batch program).
     """
 
     def __init__(self, cfg, checkpoint: str | None = None, refine_iters: int = 1,
@@ -83,13 +84,37 @@ class PoseEstimator:
         self._refine_batch = None   # built lazily (predict_batch)
         self.max_compiles = int(max_compiles)
         self._compiled: set = set()   # (hb, wb, pb) shapes already jit-compiled
-        for h, w, p in (precompile or ()):
+        for key in (precompile or ()):
+            if len(key) == 4:         # (n, h, w, p): warm the batched program
+                n, h, w, p = key
+                self._warm_batched(_bucket(int(n), COUNT_BUCKETS),
+                                   _bucket(int(h), IMG_BUCKETS),
+                                   _bucket(int(w), IMG_BUCKETS),
+                                   _bucket(int(p), POSE_BUCKETS))
+                continue
+            h, w, p = key
             key = (_bucket(int(h), IMG_BUCKETS), _bucket(int(w), IMG_BUCKETS),
                    _bucket(int(p), POSE_BUCKETS))
             self._compiled.add(key)
             self._run_bucketed(np.zeros((1, 1, 3), np.uint8),
                                np.ones((1, self.num_joints, 3), np.float32),
                                *key)
+
+    def _ensure_refine_batch(self):
+        if self._refine_batch is None:
+            import jax
+            self._refine_batch = jax.jit(jax.vmap(
+                lambda v, im, c, wh: self.refine(v, im, c, img_wh=wh),
+                in_axes=(None, 0, 0, 0)))
+        return self._refine_batch
+
+    def _warm_batched(self, nb, hb, wb, pb):
+        import jax.numpy as jnp
+        self._compiled.add((nb, hb, wb, pb))
+        self._ensure_refine_batch()(
+            self.variables, jnp.zeros((nb, hb, wb, 3), jnp.uint8),
+            jnp.ones((nb, pb, self.num_joints, 3), jnp.float32),
+            jnp.ones((nb, 2), jnp.float32))
 
     def _pick_bucket(self, hb: int, wb: int, pb: int):
         """Bucket key to run at, honoring the compile budget.  (The image is
@@ -190,10 +215,7 @@ class PoseEstimator:
                    _bucket(cs.shape[0], POSE_BUCKETS))
             groups.setdefault(key, []).append(idx)
 
-        if self._refine_batch is None:
-            self._refine_batch = jax.jit(jax.vmap(
-                lambda v, im, c, wh: self.refine(v, im, c, img_wh=wh),
-                in_axes=(None, 0, 0, 0)))
+        self._ensure_refine_batch()
 
         out: list = [None] * len(pairs)
         for (hb, wb, pb), idxs in groups.items():

@@ -110,3 +110,23 @@ def test_pose_estimator_predict_batch_budget_fallback():
     # still only the single (256,256,2) program; no (2,...) batch key compiled
     assert all(len(k) == 3 for k in est._compiled)
     assert len(est._compiled) == 1
+
+
+def test_pose_estimator_batched_precompile():
+    """A 4-tuple precompile entry warms the batched program; a subsequent
+    predict_batch at that shape reuses it (no budget growth)."""
+    from buctd_tpu.serving import PoseEstimator
+
+    cfg = _cfg(TINY)
+    est = PoseEstimator(cfg, refine_iters=1, max_compiles=2,
+                        precompile=[(2, 256, 256, 2)])
+    assert (2, 256, 256, 2) in est._compiled
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 255, (150, 180, 3)).astype(np.uint8)
+            for _ in range(2)]
+    conds = [rng.uniform(20, 120, (2, 17, 2)).astype(np.float32)
+             for _ in range(2)]
+    out = est.predict_batch(imgs, conds)
+    assert all(o.shape == (2, 17, 3) for o in out)
+    assert est._compiled == {(2, 256, 256, 2)}

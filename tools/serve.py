@@ -41,7 +41,8 @@ def parse_args():
     p.add_argument("--vis-thres", type=float, default=0.0)
     p.add_argument("--max-compiles", type=int, default=12)
     p.add_argument("--precompile", action="append", default=[],
-                   help="h,w,p bucket to warm at startup (repeatable)")
+                   help="h,w,p (or n,h,w,p batched) bucket to warm at "
+                        "startup (repeatable)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
