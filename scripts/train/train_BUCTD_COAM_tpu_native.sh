@@ -24,5 +24,9 @@ python tools/train.py \
     TEST.USE_BU_BBOX True \
     TPU.DEVICE_PIPELINE True \
     TPU.DEVICE_SYNTHESIS True \
+    TPU.PREFETCH 2 \
     TPU.WARP_ENGINE auto \
     TPU.COMPUTE_DTYPE bfloat16
+# Larger effective batches on memory-constrained chips: add
+#   TRAIN.GRAD_ACCUM_STEPS 4      (4 x 32 x mesh-size effective batch)
+# More HBM headroom (b192+/chip): add  TPU.REMAT True  (REMAT_MODE modules)
