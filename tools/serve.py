@@ -86,6 +86,9 @@ def main():
           f"({n_poses / max(dt, 1e-9):.1f} poses/s)")
 
     for i, p in zip(keep, preds):
+        # float64: np.float64 subclasses Python float, so json serializes the
+        # object array's leaves; float32 leaves would raise
+        p = np.asarray(p, np.float64)
         entries[i]["predictions"] = np.where(np.isfinite(p), p, None).tolist()
     with open(args.out, "w") as f:
         json.dump(entries, f)
