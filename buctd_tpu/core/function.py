@@ -42,7 +42,35 @@ class AverageMeter:
         self.avg = self.sum / self.count if self.count else 0.0
 
 
+# validate() is called once per eval epoch / refine round; without this memo
+# every call built a fresh closure -> fresh jax.jit object -> full RETRACE of
+# the model (seconds per eval even with the persistent compile cache, which
+# only skips the XLA compile, not tracing).  Keyed on everything the closure
+# reads; values hold the model ref so id(model) stays valid.
+_VSTEP_MEMO: dict = {}
+
+
 def make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh=None):
+    key = (
+        id(model), None if mesh is None else str(mesh),
+        np.asarray(kpt_colors, np.float32).tobytes(),
+        tuple(tuple(p) for p in flip_pairs),
+        int(cfg.MODEL.NUM_JOINTS),
+        tuple(cfg.MODEL.IMAGE_SIZE), tuple(cfg.MODEL.HEATMAP_SIZE),
+        condition_mode(cfg), bool(cfg.MODEL.CONDITIONAL_TOPDOWN),
+        bool(cfg.TEST.FLIP_TEST), bool(cfg.TEST.SHIFT_HEATMAP),
+        bool(cfg.TEST.POST_PROCESS), bool(cfg.TEST.USE_DARK),
+        str(cfg.LOSS),
+    )
+    hit = _VSTEP_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+    step = _make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh)
+    _VSTEP_MEMO[key] = (step, model)   # keep model alive -> id can't be reused
+    return step
+
+
+def _make_validate_step(cfg, model, flip_pairs, kpt_colors, mesh=None):
     """One jitted eval step: (variables, batch) -> (preds, maxvals, loss, acc, cnt).
 
     Implements the full flip-test protocol (function.py:213-236):
