@@ -139,9 +139,14 @@ def measure_tpu():
     fdt = time.perf_counter() - t0
     fwd_cps = B * STEPS / fdt
     try:
-        flops = float(jax.jit(lambda v, x: model.apply(v, x, train=False))
-                      .lower(variables, x6).compile().cost_analysis()["flops"])
-        mfu = flops * (STEPS / fdt) / V5E_BF16_PEAK
+        if _on_cpu():
+            mfu = float("nan")   # v5e-peak MFU is meaningless on the fallback,
+            #                      and cost_analysis costs a second full compile
+        else:
+            flops = float(jax.jit(lambda v, x: model.apply(v, x, train=False))
+                          .lower(variables, x6).compile()
+                          .cost_analysis()["flops"])
+            mfu = flops * (STEPS / fdt) / V5E_BF16_PEAK
     except Exception:
         mfu = float("nan")
     return e2e_cps, fwd_cps, mfu, jax.devices()[0].platform
@@ -313,6 +318,9 @@ def measure_torch_cpu():
 def main():
     tpu_cps, fwd_cps, mfu, platform = measure_tpu()
     try:
+        global N_TORCH
+        if platform == "cpu":
+            N_TORCH = 5      # fallback: both sides share the one CPU core
         torch_cps = measure_torch_cpu()
     except Exception as e:  # baseline must not sink the bench
         print(f"# torch baseline failed: {e!r}", file=sys.stderr)
@@ -327,10 +335,20 @@ def main():
         "forward_mfu": round(mfu, 4) if mfu == mfu else None,
         "torch_cpu_crops_per_sec": round(torch_cps, 3) if torch_cps == torch_cps else None,
     }
+    if platform == "cpu":
+        record["note"] = (
+            "axon relay tunnel unreachable -> tiny-batch CPU fallback run; "
+            "last on-chip v5e numbers: 1131 crops/s/chip e2e b384 (BENCH_r02), "
+            "CoAM-W48 823 crops/s b192 + refine 84 ms/image with the round-3 "
+            "flash kernels (PERF.md); tools/relay_watch.sh re-measures when "
+            "the tunnel returns")
     # the OCHuman/CrowdPose flagship (CoAM-W48 + 3x refinement, README.md:104)
     # and the TransPose family, so the driver-captured JSON evidences every
-    # headline model, not just preNet (VERDICT r2 item 4)
-    if os.environ.get("BUCTD_BENCH_HEADLINE_ONLY") != "1":
+    # headline model, not just preNet (VERDICT r2 item 4).  Skipped on the CPU
+    # fallback: three more W48/transformer compiles on this host's single core
+    # would outlive any reasonable bench timeout without producing a number
+    # that means anything — the ONE labeled JSON line must still land.
+    if os.environ.get("BUCTD_BENCH_HEADLINE_ONLY") != "1" and platform != "cpu":
         try:
             cps, m, b = measure_forward(
                 "/root/repo/experiments/coco/buctd/coam_w48_384x288.yaml", 128)
