@@ -48,7 +48,8 @@ class PoseEstimator:
     """
 
     def __init__(self, cfg, checkpoint: str | None = None, refine_iters: int = 1,
-                 colors=None, max_compiles: int = 12, precompile=None):
+                 colors=None, max_compiles: int = 12, precompile=None,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -82,12 +83,22 @@ class PoseEstimator:
         self.refine = make_refine_fn(cfg, self.model, self.colors,
                                      n_iters=max(int(refine_iters), 1))
         self._refine_batch = None   # built lazily (predict_batch)
+        # data-parallel serving: with a jax.sharding.Mesh the batched path
+        # shards the image rows over the mesh's data axis (params replicated)
+        # — the TPU-native analog of the reference's eval-time
+        # nn.DataParallel wrap (tools/test.py:134), but SPMD over ICI instead
+        # of a scatter/gather through one python process.  Image-count buckets
+        # scale to multiples of the mesh so every device gets whole rows.
+        self.mesh = mesh
+        self._mesh_vars = None      # replicated copy, built with _refine_batch
+        self.count_buckets = (COUNT_BUCKETS if mesh is None else
+                              tuple(b * mesh.size for b in (1, 2, 4, 8)))
         self.max_compiles = int(max_compiles)
         self._compiled: set = set()   # (hb, wb, pb) shapes already jit-compiled
         for key in (precompile or ()):
             if len(key) == 4:         # (n, h, w, p): warm the batched program
                 n, h, w, p = key
-                self._warm_batched(_bucket(int(n), COUNT_BUCKETS),
+                self._warm_batched(_bucket(int(n), self.count_buckets),
                                    _bucket(int(h), IMG_BUCKETS),
                                    _bucket(int(w), IMG_BUCKETS),
                                    _bucket(int(p), POSE_BUCKETS))
@@ -103,18 +114,30 @@ class PoseEstimator:
     def _ensure_refine_batch(self):
         if self._refine_batch is None:
             import jax
-            self._refine_batch = jax.jit(jax.vmap(
-                lambda v, im, c, wh: self.refine(v, im, c, img_wh=wh),
-                in_axes=(None, 0, 0, 0)))
+            vm = jax.vmap(lambda v, im, c, wh: self.refine(v, im, c, img_wh=wh),
+                          in_axes=(None, 0, 0, 0))
+            if self.mesh is not None:
+                from .parallel.mesh import (data_sharding, replicate,
+                                            replicated_sharding)
+                repl = replicated_sharding(self.mesh)
+                data = data_sharding(self.mesh)
+                self._refine_batch = jax.jit(
+                    vm, in_shardings=(repl, data, data, data))
+                self._mesh_vars = replicate(self.variables, self.mesh)
+            else:
+                self._refine_batch = jax.jit(vm)
         return self._refine_batch
+
+    def _batched_vars(self):
+        return self._mesh_vars if self._mesh_vars is not None else self.variables
 
     def _warm_batched(self, nb, hb, wb, pb):
         import jax.numpy as jnp
         self._compiled.add((nb, hb, wb, pb))
-        self._ensure_refine_batch()(
-            self.variables, jnp.zeros((nb, hb, wb, 3), jnp.uint8),
-            jnp.ones((nb, pb, self.num_joints, 3), jnp.float32),
-            jnp.ones((nb, 2), jnp.float32))
+        fn = self._ensure_refine_batch()
+        fn(self._batched_vars(), jnp.zeros((nb, hb, wb, 3), jnp.uint8),
+           jnp.ones((nb, pb, self.num_joints, 3), jnp.float32),
+           jnp.ones((nb, 2), jnp.float32))
 
     def _pick_bucket(self, hb: int, wb: int, pb: int):
         """Bucket key to run at, honoring the compile budget.  (The image is
@@ -203,7 +226,8 @@ class PoseEstimator:
         all images' crops at once).  Returns a list of (P_i, J, 3) arrays in
         input order.  Batched program shapes (n, h, w, p) share the same
         compile budget; when the budget blocks a batch shape, those images
-        fall back to the per-image path."""
+        fall back to the per-image path.  With a constructor ``mesh`` the
+        image rows shard over the mesh's data axis (multi-chip DP serving)."""
         import jax
         import jax.numpy as jnp
 
@@ -221,12 +245,12 @@ class PoseEstimator:
         for (hb, wb, pb), idxs in groups.items():
             pos = 0
             while pos < len(idxs):
-                chunk = idxs[pos:pos + COUNT_BUCKETS[-1]]
+                chunk = idxs[pos:pos + self.count_buckets[-1]]
                 pos += len(chunk)
                 if len(chunk) == 1:
                     out[chunk[0]] = self.predict(*pairs[chunk[0]], vis_thres)
                     continue
-                nb = _bucket(len(chunk), COUNT_BUCKETS)
+                nb = _bucket(len(chunk), self.count_buckets)
                 bkey = (nb, hb, wb, pb)
                 if not (bkey in self._compiled
                         or len(self._compiled) < self.max_compiles):
@@ -252,7 +276,7 @@ class PoseEstimator:
                                                       cnds[len(chunk) - 1],
                                                       whs[len(chunk) - 1])
                 preds, maxvals = self._refine_batch(
-                    self.variables, jnp.asarray(imgs), jnp.asarray(cnds),
+                    self._batched_vars(), jnp.asarray(imgs), jnp.asarray(cnds),
                     jnp.asarray(whs))
                 preds, maxvals = np.asarray(preds), np.asarray(maxvals)
                 for row, q in enumerate(chunk):

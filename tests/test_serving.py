@@ -112,6 +112,40 @@ def test_pose_estimator_predict_batch_budget_fallback():
     assert len(est._compiled) == 1
 
 
+def test_pose_estimator_mesh_data_parallel_matches_single():
+    """With a mesh, predict_batch shards image rows over the data axis (the
+    TPU-native analog of the reference's eval nn.DataParallel, tools/test.py:134)
+    and must produce the same predictions as the unsharded estimator."""
+    import jax
+
+    from buctd_tpu.parallel.mesh import make_mesh
+    from buctd_tpu.serving import PoseEstimator
+
+    cfg = _cfg(TINY)
+    mesh = make_mesh()                       # 8 virtual CPU devices (conftest)
+    est_dp = PoseEstimator(cfg, refine_iters=1, mesh=mesh)
+    est = PoseEstimator(cfg, refine_iters=1)
+    # count buckets scale to mesh multiples so every device gets whole rows
+    assert est_dp.count_buckets[0] == mesh.size
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 255, (120 + 10 * i, 140, 3)).astype(np.uint8)
+            for i in range(mesh.size)]
+    conds = [rng.uniform(20, 100, (1 + i % 3, 17, 2)).astype(np.float32)
+             for i in range(mesh.size)]
+    out_dp = est_dp.predict_batch(imgs, conds)
+    out = est.predict_batch(imgs, conds)
+    for a, b in zip(out_dp, out):
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)
+    # the batched program really ran sharded: its image-count bucket is a
+    # whole multiple of the mesh
+    nkeys = [k for k in est_dp._compiled if len(k) == 4]
+    assert nkeys and all(k[0] % mesh.size == 0 for k in nkeys)
+    # params for the batched path are replicated over the mesh
+    leaf = jax.tree.leaves(est_dp._mesh_vars)[0]
+    assert len(leaf.sharding.device_set) == mesh.size
+
+
 def test_pose_estimator_batched_precompile():
     """A 4-tuple precompile entry warms the batched program; a subsequent
     predict_batch at that shape reuses it (no budget growth)."""

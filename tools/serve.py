@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--precompile", action="append", default=[],
                    help="h,w,p (or n,h,w,p batched) bucket to warm at "
                         "startup (repeatable)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batched serving over all local devices "
+                        "(jax.sharding.Mesh; params replicated, image rows "
+                        "data-sharded)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -62,10 +66,18 @@ def main():
         entries = json.load(f)
 
     precompile = [tuple(int(v) for v in s.split(",")) for s in args.precompile]
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from buctd_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        print(f"# data-parallel serving over {mesh.size} devices "
+              f"({jax.devices()[0].platform})")
     est = PoseEstimator(cfg, checkpoint=args.checkpoint,
                         refine_iters=args.refine_iters,
                         max_compiles=args.max_compiles,
-                        precompile=precompile)
+                        precompile=precompile, mesh=mesh)
 
     import cv2
     images, conditions, keep = [], [], []
