@@ -136,6 +136,78 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = m_scr[:] + jnp.log(l)
 
 
+def _fwd_kernel_kvres(seed_ref, q_ref, k_hbm, v_hbm, o_ref, lse_ref,
+                      k_scr, v_scr, k_sem, v_sem, *, scale, l_k, block_k,
+                      n_k, n_q, dropout, prec, sm_dtype):
+    """Forward with the kv axis INSIDE the kernel (grid = (bh, q-blocks)).
+
+    The round-3 kernel put kv on the grid: 4608 Mosaic steps at b128/L=6912,
+    each paying the fixed step cost plus a scratch rescale, and the VPU exp of
+    step i could never overlap the MXU matmul of step i+1 (separate grid
+    steps).  Here the online-softmax loop over kv sub-tiles is a STATIC python
+    loop in one kernel body: 6-9x fewer grid steps, no cross-step scratch
+    semantics, and the sub-steps' s-matmuls are independent of the previous
+    sub-step's exp/rescale chain, so Mosaic can software-pipeline MXU against
+    VPU.  k/v stream from HBM through a hand double-buffered DMA pair (the
+    pipeline pattern from the pallas guide) — 2 sub-tile slots instead of
+    full-kv residency, so VMEM stays ~14 MB at 1152^2 tiles and the path works
+    for any L.
+    """
+    b, qi = pl.program_id(0), pl.program_id(1)
+
+    def kv_dma(ki, slot):
+        return (pltpu.make_async_copy(
+                    k_hbm.at[b, pl.ds(ki * block_k, block_k), :],
+                    k_scr.at[slot], k_sem.at[slot]),
+                pltpu.make_async_copy(
+                    v_hbm.at[b, pl.ds(ki * block_k, block_k), :],
+                    v_scr.at[slot], v_sem.at[slot]))
+
+    for dma in kv_dma(0, 0):
+        dma.start()
+
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    bq, dp = q.shape
+    m = jnp.full((bq, LANES), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, LANES), jnp.float32)
+    acc = jnp.zeros((bq, dp), jnp.float32)
+
+    for ki in range(n_k):                      # static unroll (n_k is 6-9)
+        slot = ki % 2
+        if ki + 1 < n_k:
+            for dma in kv_dma(ki + 1, 1 - slot):
+                dma.start()
+        for dma in kv_dma(ki, slot):
+            dma.wait()
+        kb, vb = k_scr[slot], v_scr[slot]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        if (ki + 1) * block_k > l_k:           # static: only padded sub-tiles
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col + ki * block_k < l_k, s, NEG_INF)
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m, _rep(m_curr, LANES))
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp((s - _rep(m_next[:, :1], s.shape[1])).astype(sm_dtype))
+        l = l * alpha + jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
+        m = m_next
+        if dropout > 0.0:
+            # same (seed, bh, qi, ki) stream as the grid kernels — the
+            # backward regenerates identical masks (see _tile_seed)
+            pltpu.prng_seed(_tile_seed(seed_ref[0], b, qi, ki, n_q, n_k))
+            p = p * _dropout_keep(p.shape, dropout).astype(sm_dtype)
+        acc = (acc * _rep(alpha[:, :1], dp)
+               + jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec))
+
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = acc / _rep(l[:, :1], dp)
+    lse_ref[0] = m + jnp.log(l)
+
+
 # --------------------------------------------------------------- backward ----
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                dq_ref, dq_scr, *, scale, l_k, block_k, n_k, n_q, dropout,
@@ -168,6 +240,124 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     @pl.when(ki == n_k - 1)
     def _():
         dq_ref[0] = dq_scr[:] * scale
+
+
+def _dq_kernel_kvres(seed_ref, q_ref, do_ref, lse_ref, delta_ref, k_hbm, v_hbm,
+                     dq_ref, k_scr, v_scr, k_sem, v_sem, *, scale, l_k,
+                     block_k, n_k, n_q, dropout, prec):
+    """dq with the kv axis inside the kernel (see _fwd_kernel_kvres): grid =
+    (bh, q-blocks), kv sub-tiles stream through a double-buffered DMA pair."""
+    b, qi = pl.program_id(0), pl.program_id(1)
+
+    def kv_dma(ki, slot):
+        return (pltpu.make_async_copy(
+                    k_hbm.at[b, pl.ds(ki * block_k, block_k), :],
+                    k_scr.at[slot], k_sem.at[slot]),
+                pltpu.make_async_copy(
+                    v_hbm.at[b, pl.ds(ki * block_k, block_k), :],
+                    v_scr.at[slot], v_sem.at[slot]))
+
+    for dma in kv_dma(0, 0):
+        dma.start()
+
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    do, lse, delta = do_ref[0], lse_ref[0], delta_ref[0]
+    dq = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+    for ki in range(n_k):
+        slot = ki % 2
+        if ki + 1 < n_k:
+            for dma in kv_dma(ki + 1, 1 - slot):
+                dma.start()
+        for dma in kv_dma(ki, slot):
+            dma.wait()
+        kb, vb = k_scr[slot], v_scr[slot]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        if (ki + 1) * block_k > l_k:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col + ki * block_k < l_k, s, NEG_INF)
+        p = jnp.exp(s - _rep(lse[:, :1], s.shape[1]))
+        g = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        if dropout > 0.0:
+            pltpu.prng_seed(_tile_seed(seed_ref[0], b, qi, ki, n_q, n_k))
+            g = g * _dropout_keep(g.shape, dropout)
+        ds = p * (g - _rep(delta[:, :1], g.shape[1]))
+        dq += jax.lax.dot_general(ds.astype(kb.dtype), kb,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+    dq_ref[0] = dq * scale
+
+
+def _dkv_kernel_kvres(seed_ref, k_ref, v_ref, q_hbm, do_hbm, lse_hbm,
+                      delta_hbm, dk_ref, dv_ref, q_scr, do_scr, lse_scr,
+                      delta_scr, q_sem, do_sem, lse_sem, delta_sem, *, scale,
+                      l_k, block_q, block_k, n_k, n_q, dropout, prec):
+    """dk/dv with the q axis inside the kernel: grid = (bh, kv-blocks); the
+    q-side operands (q, do, lse, delta) stream through four double-buffered
+    DMA channels while k/v stay resident for the whole grid step."""
+    b, ki = pl.program_id(0), pl.program_id(1)
+
+    def q_dma(qi, slot):
+        return (pltpu.make_async_copy(
+                    q_hbm.at[b, pl.ds(qi * block_q, block_q), :],
+                    q_scr.at[slot], q_sem.at[slot]),
+                pltpu.make_async_copy(
+                    do_hbm.at[b, pl.ds(qi * block_q, block_q), :],
+                    do_scr.at[slot], do_sem.at[slot]),
+                pltpu.make_async_copy(
+                    lse_hbm.at[b, pl.ds(qi * block_q, block_q), :],
+                    lse_scr.at[slot], lse_sem.at[slot]),
+                pltpu.make_async_copy(
+                    delta_hbm.at[b, pl.ds(qi * block_q, block_q), :],
+                    delta_scr.at[slot], delta_sem.at[slot]))
+
+    for dma in q_dma(0, 0):
+        dma.start()
+
+    kb, vb = k_ref[0], v_ref[0]
+    dk = jnp.zeros((kb.shape[0], kb.shape[1]), jnp.float32)
+    dv = jnp.zeros_like(dk)
+    for qi in range(n_q):
+        slot = qi % 2
+        if qi + 1 < n_q:
+            for dma in q_dma(qi + 1, 1 - slot):
+                dma.start()
+        for dma in q_dma(qi, slot):
+            dma.wait()
+        # q pre-scaled: dk = ds^T q' absorbs the chain-rule scale (see
+        # _dkv_kernel)
+        q = q_scr[slot] * jnp.asarray(scale, q_scr.dtype)
+        do, lse, delta = do_scr[slot], lse_scr[slot], delta_scr[slot]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        s = _kv_mask(s, ki, block_k, l_k, n_k)   # ki is a traced program id
+        p = jnp.exp(s - _rep(lse[:, :1], s.shape[1]))
+        keep = None
+        if dropout > 0.0:
+            pltpu.prng_seed(_tile_seed(seed_ref[0], b, qi, ki, n_q, n_k))
+            keep = _dropout_keep(p.shape, dropout)
+        pd = p * keep if keep is not None else p
+        dv += jax.lax.dot_general(pd.astype(do.dtype), do,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+        g = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        if keep is not None:
+            g = g * keep
+        ds = p * (g - _rep(delta[:, :1], g.shape[1]))
+        dk += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+    dk_ref[0] = dk
+    dv_ref[0] = dv
 
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -234,6 +424,8 @@ def _pick_blocks(l_q: int, l_k: int, bwd: bool = False):
         # bh slice vs 49 at padded-1024^2 (27% fewer) with ZERO padded rows,
         # and the two live f32 intermediates (10.6 MB) still fit scoped vmem
         cap = 1152
+    if not bwd and os.environ.get("BUCTD_FLASH_TILE"):   # bench A/B only
+        cap = int(os.environ["BUCTD_FLASH_TILE"])
     return (min(cap, _ceil_to(l_q, LANES)), min(cap, _ceil_to(l_k, LANES)))
 
 
@@ -265,17 +457,21 @@ def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
     # dropout masks regenerate per-tile in the backward: tile like the
     # backward (768^2) whenever dropout is live, so fwd and VJP draw the SAME
     # masks; the big-tile fast path stays for the dropout-free eval/serving
-    bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(
-        q, k, bwd=dropout > 0.0)
-    n_q, n_k = lqp // block_q, lkp // block_k
-    qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
-
     # bf16 softmax tiles for bf16 operands (f32 operands = the AP-parity eval
     # path keep the f32 chain); BUCTD_FLASH_F32_SOFTMAX=1 forces f32 tiles
     sm_dtype = (jnp.bfloat16
                 if q.dtype == jnp.bfloat16
                 and os.environ.get("BUCTD_FLASH_F32_SOFTMAX") != "1"
                 else jnp.float32)
+    # default OFF until the on-chip A/B validates it (flip after measurement)
+    if os.environ.get("BUCTD_FLASH_KVRES", "0") != "0":
+        return _flash_fwd_kvres(q, k, v, seed, scale, dropout, interpret,
+                                sm_dtype)
+    bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(
+        q, k, bwd=dropout > 0.0)
+    n_q, n_k = lqp // block_q, lkp // block_k
+    qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
+
     kernel = functools.partial(_fwd_kernel, scale=scale, l_k=l_k,
                                block_k=block_k, n_k=n_k, n_q=n_q,
                                dropout=dropout, prec=_mxu_precision(q.dtype),
@@ -315,9 +511,172 @@ def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
     return out[:, :l_q, :d], lse
 
 
+def _flash_fwd_kvres(q, k, v, seed, scale, dropout, interpret, sm_dtype):
+    """pallas_call plumbing for _fwd_kernel_kvres (see its docstring).
+
+    Block choice: dropout>0 pins 768^2 (the backward's tiling — the PRNG
+    masks regenerate per logical tile, so forward and VJP must tile alike);
+    f32 operands cap at 768 (s AND p tiles are f32: 1152^2 would put ~17 MB
+    of intermediates + dma scratch on the 16 MB scoped-vmem stack); bf16
+    serving uses 1152^2 when L divides (the BUCTD 6912 = 6x1152) else 1024.
+    """
+    bh, l_q, d = q.shape
+    l_k = k.shape[1]
+    if dropout > 0.0 or q.dtype == jnp.float32:
+        block_q = block_k = 768
+    else:
+        block_q, block_k = _pick_blocks(l_q, l_k)
+    block_q = min(block_q, _ceil_to(l_q, LANES))
+    block_k = min(block_k, _ceil_to(l_k, LANES))
+    lqp, lkp, dp = (_ceil_to(l_q, block_q), _ceil_to(l_k, block_k),
+                    _ceil_to(d, LANES))
+    n_q, n_k = lqp // block_q, lkp // block_k
+    qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
+
+    kernel = functools.partial(_fwd_kernel_kvres, scale=scale, l_k=l_k,
+                               block_k=block_k, n_k=n_k, n_q=n_q,
+                               dropout=dropout, prec=_mxu_precision(q.dtype),
+                               sm_dtype=sm_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),    # k stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # v stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, *_: (b, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, dp), q.dtype),   # kv double buffers
+            pltpu.VMEM((2, block_k, dp), q.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bh, lqp, dp), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, lqp, LANES), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
+            bytes_accessed=4 * bh * (2 * l_q + 2 * l_k) * d),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp)
+    return out[:, :l_q, :d], lse
+
+
+def _flash_bwd_kvres(q, k, v, seed, scale, dropout, interpret, lse, out, dout,
+                     qd, kd, vd):
+    """pallas_call plumbing for the kv/q-resident backward kernels: dq runs a
+    (bh, n_q) grid streaming kv sub-tiles by DMA, dk/dv a (bh, n_k) grid
+    streaming the q-side operands.  Same 768^2 logical tiling (and therefore
+    the same dropout PRNG streams) as the grid backward."""
+    bh, l_q, d = q.shape
+    l_k = k.shape[1]
+    block_q, block_k = _pick_blocks(l_q, l_k, bwd=True)
+    lqp, lkp, dp = (_ceil_to(l_q, block_q), _ceil_to(l_k, block_k),
+                    _ceil_to(d, LANES))
+    n_q, n_k = lqp // block_q, lkp // block_k
+    qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)
+    dop = _pad(dout.astype(jnp.float32), lqp, dp)
+    lse = _pad(lse[:, :l_q], lqp, LANES)
+    delta = jnp.sum(dout.astype(jnp.float32) * out, axis=-1)
+    delta = jnp.broadcast_to(
+        jnp.pad(delta, ((0, 0), (0, lqp - l_q)))[:, :, None], (bh, lqp, LANES))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    prec = _mxu_precision(q.dtype)
+
+    dq_kernel = functools.partial(_dq_kernel_kvres, scale=scale, l_k=l_k,
+                                  block_k=block_k, n_k=n_k, n_q=n_q,
+                                  dropout=dropout, prec=prec)
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),    # k stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # v stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, *_: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, dp), q.dtype),
+            pltpu.VMEM((2, block_k, dp), q.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dq = pl.pallas_call(
+        dq_kernel, grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, lqp, dp), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
+            bytes_accessed=4 * bh * (3 * l_q + 2 * l_k) * d),
+    )(seed_arr, qp, dop, lse, delta, kp, vp)
+
+    dkv_kernel = functools.partial(_dkv_kernel_kvres, scale=scale, l_k=l_k,
+                                   block_q=block_q, block_k=block_k, n_k=n_k,
+                                   n_q=n_q, dropout=dropout, prec=prec)
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, dp), lambda b, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, *_: (b, j, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),    # q
+            pl.BlockSpec(memory_space=pl.ANY),    # do
+            pl.BlockSpec(memory_space=pl.ANY),    # lse
+            pl.BlockSpec(memory_space=pl.ANY),    # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dp), lambda b, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda b, j, *_: (b, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_q, dp), q.dtype),
+            pltpu.VMEM((2, block_q, dp), jnp.float32),   # do is f32
+            pltpu.VMEM((2, block_q, LANES), jnp.float32),
+            pltpu.VMEM((2, block_q, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel, grid_spec=dkv_spec,
+        out_shape=[jax.ShapeDtypeStruct((bh, lkp, dp), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, lkp, dp), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * l_q * l_k * d, transcendentals=bh * l_q * l_k,
+            bytes_accessed=4 * bh * (3 * l_q + 3 * l_k) * d),
+    )(seed_arr, kp, vp, qp, dop, lse, delta)
+
+    return (dq[:, :l_q, :d].astype(qd),
+            dk[:, :l_k, :d].astype(kd),
+            dv[:, :l_k, :d].astype(vd))
+
+
 def _flash_bwd_impl(q, k, v, seed, scale, dropout, interpret, lse, out, dout):
     qd, kd, vd = q.dtype, k.dtype, v.dtype
     q, k, v = _unify(q, k, v)
+    if os.environ.get("BUCTD_FLASH_KVRES", "0") != "0":
+        return _flash_bwd_kvres(q, k, v, seed, scale, dropout, interpret,
+                                lse, out, dout, qd, kd, vd)
     bh, l_q, l_k, d, block_q, block_k, lqp, lkp, dp = _dims(q, k, bwd=True)
     n_q, n_k = lqp // block_q, lkp // block_k
     qp, kp, vp = _pad(q, lqp, dp), _pad(k, lkp, dp), _pad(v, lkp, dp)

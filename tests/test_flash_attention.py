@@ -60,6 +60,40 @@ def test_flash_backward_matches_dense():
                                    rtol=1e-3, err_msg=f"d{name}")
 
 
+@pytest.mark.parametrize("bh,lq,lk,d", [
+    (2, 256, 256, 48),      # aligned
+    (1, 300, 384, 112),     # padded q tail, cross lengths
+    (1, 128, 700, 64),      # padded kv tail (masked sub-tile)
+])
+def test_flash_kvres_forward_and_backward(monkeypatch, bh, lq, lk, d):
+    """The kv-resident kernels (BUCTD_FLASH_KVRES): forward parity vs dense
+    plus full VJP parity — the round-4 serving-path kernels."""
+    monkeypatch.setenv("BUCTD_FLASH_KVRES", "1")
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(bh, lq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, lk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, lk, d).astype(np.float32))
+    g = jnp.asarray(rng.randn(bh, lq, d).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+
+    got = flash_attention(q, k, v, 0, scale, 0.0, True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_dense(q, k, v, scale)),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 0, scale, 0.0, True) * g)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense(q, k, v, scale) * g)
+
+    got_g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want_g = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for gg, ww, name in zip(got_g, want_g, "qkv"):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww), atol=5e-4,
+                                   rtol=1e-3, err_msg=f"d{name}")
+
+
 def test_flash_bf16_inputs():
     bh, l, d = 1, 256, 48
     rng = np.random.RandomState(2)

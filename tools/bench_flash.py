@@ -120,13 +120,62 @@ def bench_perf():
         os.environ["BUCTD_ATTENTION_ENGINE"] = "auto"
 
 
+def bench_levers():
+    """Isolate each forward lever on chip (VERDICT r3 item 1): grid kernel vs
+    kv-resident kernel, f32 vs bf16 softmax tiles, 1024^2 vs 1152^2 tiles.
+    Env knobs are read at TRACE time, so each config jits a fresh lambda."""
+    import os
+    print("== per-lever forward isolation (bf16 operands) ==", flush=True)
+    configs = [
+        # (label, KVRES, F32_SOFTMAX, TILE)
+        ("grid  1024^2 f32-softmax (r3 base)", "0", "1", "1024"),
+        ("grid  1024^2 bf16-softmax",          "0", "",  "1024"),
+        ("grid  1152^2 bf16-softmax (r3 dflt)", "0", "",  ""),
+        ("kvres 1152^2 bf16-softmax",          "1", "",  ""),
+        ("kvres 1152^2 f32-softmax",           "1", "1", ""),
+    ]
+    for name, bh, l, d in [("CoAM-stage2 b128", 128, 6912, 48),
+                           ("TransPose b16 (x6 layers)", 16, 6912, 112)]:
+        q, k, v = _mk(bh, l, d, jnp.bfloat16)
+        scale = 1.0 / np.sqrt(d)
+        ref = None
+        for label, kvres, f32sm, tile in configs:
+            os.environ["BUCTD_FLASH_KVRES"] = kvres
+            os.environ["BUCTD_FLASH_F32_SOFTMAX"] = f32sm
+            if tile:
+                os.environ["BUCTD_FLASH_TILE"] = tile
+            else:
+                os.environ.pop("BUCTD_FLASH_TILE", None)
+            fn = jax.jit(lambda q, k, v, s=scale: flash_attention(q, k, v, 0, s))
+            try:
+                got = np.asarray(fn(q, k, v), np.float32)
+                if ref is None:
+                    ref = got
+                err = (np.abs(got - ref).max() / (np.abs(ref).max() + 1e-12))
+                _fetch(fn(q, k, v))
+                t0 = time.perf_counter()
+                n = 5
+                for _ in range(n):
+                    _fetch(fn(q, k, v))
+                dt = (time.perf_counter() - t0) / n * 1e3
+                print(f"  {name:26s} {label:36s}: {dt:8.2f} ms  "
+                      f"(rel-vs-base {err:.1e})", flush=True)
+            except Exception as e:
+                print(f"  {name:26s} {label:36s}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+        for kk in ("BUCTD_FLASH_KVRES", "BUCTD_FLASH_F32_SOFTMAX",
+                   "BUCTD_FLASH_TILE"):
+            os.environ.pop(kk, None)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--parity", action="store_true")
     ap.add_argument("--dropout", action="store_true")
     ap.add_argument("--perf", action="store_true")
+    ap.add_argument("--levers", action="store_true")
     a = ap.parse_args()
-    run_all = not (a.parity or a.dropout or a.perf)
+    run_all = not (a.parity or a.dropout or a.perf or a.levers)
     print("devices:", jax.devices(), flush=True)
     if a.parity or run_all:
         check_parity()
@@ -134,3 +183,5 @@ if __name__ == "__main__":
         check_dropout()
     if a.perf or run_all:
         bench_perf()
+    if a.levers:
+        bench_levers()
