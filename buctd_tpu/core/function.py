@@ -165,6 +165,7 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
     num_samples = shard_length(len(val_dataset))   # this process's shard capacity
     all_preds = np.zeros((num_samples, int(cfg.MODEL.NUM_JOINTS), 3), np.float32)
     all_boxes = np.zeros((num_samples, 7))
+    all_db_idx = np.zeros((num_samples,), np.int64)  # global db row per pred
     image_path = []
     idx = 0
     end = time.time()
@@ -200,6 +201,7 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
         all_boxes[idx:idx + n, 4] = np.prod(s[:n] * 200, 1)
         all_boxes[idx:idx + n, 5] = batch["score"][:n]
         all_boxes[idx:idx + n, 6] = batch["annotation_id"][:n]
+        all_db_idx[idx:idx + n] = batch["db_index"][:n]
         image_path.extend(batch["image_path"][:n])
         idx += n
 
@@ -231,11 +233,11 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
 
     if _jax.process_count() > 1:
         # Merge the per-process shards into the full prediction set on every
-        # host.  Contiguous shards + the deterministic (unshuffled) eval order
-        # mean concatenation in process order IS dataset order; image paths are
-        # rebuilt from the (identical, fully-loaded) db on each host instead of
-        # gathering strings.  Annotation ids ride as int32 halves: x64 is off,
-        # so a float32 gather would corrupt ids above 2^24 (CrowdPose has them).
+        # host.  Image paths are rebuilt from the (identical, fully-loaded) db
+        # on each host via the GATHERED per-row db indices instead of gathering
+        # strings — structurally correct for any eval order, shuffled or not.
+        # Annotation ids ride as int32 halves: x64 is off, so a float32 gather
+        # would corrupt ids above 2^24 (CrowdPose has them).
         from jax.experimental import multihost_utils as mhu
 
         from ..parallel.mesh import allgather_rows
@@ -251,8 +253,8 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
         all_preds = _gather(all_preds)
         all_boxes = np.concatenate(
             [boxes_g, ((hi << 31) | lo).astype(np.float64)[:, None]], axis=1)
-        image_path = [val_dataset.db[q * num_samples + r]["image"]
-                      for q in range(len(counts)) for r in range(int(counts[q]))]
+        db_idx_g = _gather(all_db_idx.astype(np.int32)).astype(np.int64)
+        image_path = [val_dataset.db[int(j)]["image"] for j in db_idx_g]
         idx = int(counts.sum())
         if _jax.process_index() > 0:
             # every host runs the identical evaluate; secondary processes write
@@ -335,20 +337,24 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
     """λ-sweep evaluation (lib/core/validate.py:175-333): every batch is evaluated
     once per λ with lambda_vec = [λ, 1-λ]; λ=0 scores decay by TEST.DECAY_THRE
     (:245-250); all_boxes grows an 8th column carrying λ (:263) so
-    dataset.evaluate dispatches to the per-mode + oks_merge evaluation."""
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "TEST.LAMBDA_SWEEP is a single-host legacy eval path "
-            "(lib/core/validate.py); run it without --coordinator")
+    dataset.evaluate dispatches to the per-mode + oks_merge evaluation.
+
+    Multi-host: same DCN merge as validate() — each process sweeps its own
+    loader shard, the per-process (preds, boxes-with-λ, db-index) blocks are
+    all-gathered, and every host runs the identical evaluate (secondary hosts
+    under proc{q}/ subdirs)."""
+    from ..data.pipeline import shard_length
+
     losses, acc = AverageMeter(), AverageMeter()
     use_lambda = "lambda_fc" in variables.get("params", {})
     step = make_validate_lambda_step(cfg, model, val_dataset.flip_pairs, mesh=mesh,
                                      use_lambda=use_lambda)
 
     lambda_vals = list(lambda_vals)
-    num_samples = len(lambda_vals) * len(val_dataset)
+    num_samples = len(lambda_vals) * shard_length(len(val_dataset))
     all_preds = np.zeros((num_samples, int(cfg.MODEL.NUM_JOINTS), 3), np.float32)
     all_boxes = np.zeros((num_samples, 8))
+    all_db_idx = np.zeros((num_samples,), np.int64)
     image_path = []
     idx = 0
 
@@ -371,7 +377,8 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
                 [jnp.full((B, 1), float(lam), jnp.float32),
                  jnp.full((B, 1), 1.0 - float(lam), jnp.float32)], axis=1)
             preds, maxvals, loss, a, cnt = step(variables, dev_batch, lambda_vec)
-            preds, maxvals = np.asarray(preds), np.asarray(maxvals)
+            from ..parallel.mesh import host_local_rows
+            preds, maxvals = host_local_rows(preds), host_local_rows(maxvals)
             losses.update(float(loss), n)
             acc.update(float(a), int(cnt))
 
@@ -386,12 +393,41 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
             all_boxes[idx:idx + n, 5] = score
             all_boxes[idx:idx + n, 6] = batch["annotation_id"][:n]
             all_boxes[idx:idx + n, 7] = float(lam)
+            all_db_idx[idx:idx + n] = batch["db_index"][:n]
             image_path.extend(batch["image_path"][:n])
             idx += n
         if i % cfg.PRINT_FREQ == 0 or i == len(val_loader) - 1:
             logger.info("Test: [%d/%d]\tLoss %.6f (%.6f)\tAccuracy %.3f (%.3f)",
                         i, len(val_loader) - 1, losses.val, losses.avg,
                         acc.val, acc.avg)
+
+    if jax.process_count() > 1:
+        # DCN merge, same scheme as validate(): int32-split annotation ids,
+        # paths rebuilt from gathered db indices (λ rows repeat the db row)
+        import os as _os
+
+        from jax.experimental import multihost_utils as mhu
+
+        from ..parallel.mesh import allgather_rows
+        counts = np.asarray(mhu.process_allgather(np.asarray(idx, np.int32)))
+
+        def _gather(a):
+            return allgather_rows(a, idx, num_samples, counts=counts)
+
+        ids = all_boxes[:num_samples, 6].astype(np.int64)
+        hi = _gather((ids >> 31).astype(np.int32)).astype(np.int64)
+        lo = _gather((ids & 0x7FFFFFFF).astype(np.int32)).astype(np.int64)
+        cols = list(range(6)) + [7]
+        boxes_g = _gather(all_boxes[:, cols].astype(np.float32)).astype(np.float64)
+        all_preds = _gather(all_preds)
+        all_boxes = np.concatenate(
+            [boxes_g[:, :6], ((hi << 31) | lo).astype(np.float64)[:, None],
+             boxes_g[:, 6:7]], axis=1)
+        db_idx_g = _gather(all_db_idx.astype(np.int32)).astype(np.int64)
+        image_path = [val_dataset.db[int(j)]["image"] for j in db_idx_g]
+        idx = int(counts.sum())
+        if jax.process_index() > 0:
+            output_dir = _os.path.join(output_dir, f"proc{jax.process_index()}")
 
     nv, nv0, nv1, perf = val_dataset.evaluate(
         cfg, all_preds[:idx], output_dir, all_boxes[:idx], image_path, epoch)

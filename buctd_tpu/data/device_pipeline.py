@@ -165,6 +165,8 @@ class DeviceLoader:
             batch = {k: np.stack([s[k] for s in samples])
                      for k in samples[0] if k not in ("image", "image_path")}
             batch["image_path"] = [s["image_path"] for s in samples]
+            # see pipeline.Loader.__iter__: db row ids for the multi-host merge
+            batch["db_index"] = idxs.astype(np.int64)
             batch["valid"] = (np.arange(self.batch) <
                               max(0, min(self.batch, n_valid - i))
                               ).astype(np.float32)

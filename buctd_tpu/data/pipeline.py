@@ -250,6 +250,10 @@ class Loader:
                 lambda a: self.ds.get_sample(a[0], cond_override=a[1]),
                 zip(idxs, conds)))
             batch = collate(samples)
+            # global db row of each sample: validate()'s multi-host merge
+            # rebuilds image paths from these, so a shuffled eval order can
+            # never silently corrupt the merged path list
+            batch["db_index"] = idxs.astype(np.int64)
             batch["valid"] = (np.arange(self.batch) <
                               max(0, min(self.batch, n_valid - i))
                               ).astype(np.float32)

@@ -46,6 +46,17 @@ def initialize_distributed(coordinator_address: str | None = None,
     return True
 
 
+def is_primary() -> bool:
+    """True on process 0 (or in any single-process run).
+
+    Multi-host persistence gate: checkpoint saves, the log FileHandler,
+    MetricWriter files, and debug-image dumps run on the primary host only —
+    the reference is single-process (lib/utils/utils.py:303-308) so N hosts
+    racing the same output paths has no reference semantics to preserve.
+    """
+    return jax.process_index() == 0
+
+
 def process_shard(n: int) -> slice:
     """This host's contiguous shard of a length-n sample index space."""
     p, k = jax.process_index(), jax.process_count()

@@ -43,8 +43,17 @@ def save_checkpoint(state, output_dir: str, name: str = "checkpoint",
     filesystem) orbax write with the next epoch's compute: the payload is
     host-materialized up front, the previous save is awaited, and the new one runs
     in orbax's background thread.  Call ``wait_for_saves()`` (or a final blocking
-    save) before exiting."""
+    save) before exiting.
+
+    Multi-host: only process 0 writes.  The state is fully replicated across
+    hosts (parallel/mesh.py replicate), so N processes saving would just race
+    orbax's atomic rename on the SAME shared-filesystem path (the reference is
+    single-process, lib/utils/utils.py:303-308 — there is nothing per-host to
+    persist)."""
     path = os.path.abspath(os.path.join(output_dir, name))
+    from ..parallel import is_primary
+    if not is_primary():
+        return path
     ckptr = _checkpointer()
     payload = _to_saveable(state)
     payload["perf"] = np.float64(perf if perf is not None else 0.0)

@@ -87,7 +87,51 @@ def eval_cfg(image_dir, ann_file, extra=()):
     ] + list(extra))
 
 
-def validate_capture(cfg, out_dir, mesh=None, batch_size=4):
+def lambda_capture(cfg, out_dir, mesh=None, batch_size=4):
+    """Run core.function.validate_lambda_quantitative end-to-end with
+    dataset.evaluate stubbed to capture the merged λ-sweep prediction set
+    (the multi-host λ-eval correctness statement, VERDICT r3 weak 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from buctd_tpu.core.function import validate_lambda_quantitative
+    from buctd_tpu.data import get_dataset
+    from buctd_tpu.data.pipeline import Loader
+    from buctd_tpu.models import get_model
+
+    ds = get_dataset(cfg, is_train=False)
+    captured = {}
+
+    def capture_eval(self, cfg, preds, output_dir, all_boxes, img_path, *a, **k):
+        captured.update(preds=np.array(preds), boxes=np.array(all_boxes),
+                        paths=list(img_path))
+        return {"AP": 0.0}, {"AP": 0.0}, {"AP": 0.0}, 0.0
+
+    orig = type(ds).evaluate
+    type(ds).evaluate = capture_eval
+    try:
+        loader = Loader(ds, cfg, batch_size=batch_size, num_workers=1)
+        model = get_model(cfg, is_train=False)
+        H, W = int(cfg.MODEL.IMAGE_SIZE[1]), int(cfg.MODEL.IMAGE_SIZE[0])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, H, W, 6)))
+        validate_lambda_quantitative(cfg, loader, ds, model, variables,
+                                     str(out_dir), mesh=mesh)
+    finally:
+        type(ds).evaluate = orig
+    return captured
+
+
+def lambda_canon(cap):
+    """Sort a lambda_capture by (annotation_id, λ): the sweep's row order is
+    batch/λ-interleaved and differs between 1- and N-process runs, while
+    dataset.evaluate treats rows as an unordered self-describing set."""
+    order = np.lexsort((cap["boxes"][:, 7], cap["boxes"][:, 6]))
+    return {"preds": cap["preds"][order], "boxes": cap["boxes"][order],
+            "paths": [cap["paths"][i] for i in order]}
+
+
+def validate_capture(cfg, out_dir, mesh=None, batch_size=4, shuffle=False):
     """Run core.function.validate end-to-end (flip-test protocol and all) with
     dataset.evaluate stubbed to CAPTURE the merged all_preds/all_boxes/paths.
 
@@ -114,7 +158,8 @@ def validate_capture(cfg, out_dir, mesh=None, batch_size=4):
     orig = type(ds).evaluate
     type(ds).evaluate = capture_eval
     try:
-        loader = Loader(ds, cfg, batch_size=batch_size, num_workers=1)
+        loader = Loader(ds, cfg, batch_size=batch_size, num_workers=1,
+                        shuffle=shuffle)
         model = get_model(cfg, is_train=False)
         H = int(cfg.MODEL.IMAGE_SIZE[1])
         W = int(cfg.MODEL.IMAGE_SIZE[0])
