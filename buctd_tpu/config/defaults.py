@@ -208,10 +208,14 @@ def default_config() -> CN:
     # batch i+1's host work + device transfer overlap step i.  0 = synchronous.
     _C.TPU.PREFETCH = 2
     # eval-time exact preNet fusion (models/fuse.py): BNs folded into conv
-    # weights + the two parallel 7x7 stems merged into one conv.  'auto'/'on'
-    # = fuse wherever maybe_fuse_prenet is wired (tools/test.py, serving,
-    # tools/inference.py, bench.py); 'off' = keep the canonical PreNet.
-    _C.TPU.FUSED_PRENET = "auto"
+    # weights + the two parallel 7x7 stems merged into one conv.  Default OFF:
+    # measured on chip (tools/bench_stem.py, round 4) the fusion is a wash on
+    # the stem (0.99-1.00x) and NEGATIVE end-to-end (-0.7% at b256, -3.2% at
+    # b384) — XLA's conv emitter handles the three thin convs as well as one
+    # fat one, and the 67-channel concat adds traffic.  'auto'/'on' = fuse
+    # wherever maybe_fuse_prenet is wired (tools/test.py, serving,
+    # tools/inference.py, bench.py); kept as an opt-in knob.
+    _C.TPU.FUSED_PRENET = "off"
 
     return _C
 

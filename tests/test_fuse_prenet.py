@@ -11,7 +11,10 @@ import pytest
 from test_data_pipeline import _cfg
 from test_refine import TINY
 
-PRENET_TINY = TINY + ["MODEL.EXTRA.USE_PRE_NET", "True"]
+# FUSED_PRENET defaults to 'off' since round 4 (measured negative on chip,
+# bench_stem); the exactness tests opt in explicitly
+PRENET_TINY = TINY + ["MODEL.EXTRA.USE_PRE_NET", "True",
+                      "TPU.FUSED_PRENET", "auto"]
 
 
 def _random_variables(model, x, seed=0):
@@ -73,7 +76,8 @@ def test_resnet_prenet_fusion_exact():
                      "MODEL.IMAGE_SIZE", "[96, 128]",
                      "MODEL.HEATMAP_SIZE", "[24, 32]",
                      "MODEL.CONDITIONAL_TOPDOWN", "True",
-                     "MODEL.EXTRA.USE_PRE_NET", "True"])
+                     "MODEL.EXTRA.USE_PRE_NET", "True",
+                     "TPU.FUSED_PRENET", "auto"])
     x = np.random.RandomState(2).rand(2, 128, 96, 6).astype(np.float32)
     _fusion_roundtrip(cfg, x)
 

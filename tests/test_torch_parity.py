@@ -205,7 +205,8 @@ def test_pose_hrnet_prenet_fused_parity():
     from buctd_tpu.models.fuse import maybe_fuse_prenet
 
     cfg = _cfg(opts=["MODEL.EXTRA.USE_PRE_NET", "True",
-                     "MODEL.CONDITIONAL_TOPDOWN", "True"])
+                     "MODEL.CONDITIONAL_TOPDOWN", "True",
+                     "TPU.FUSED_PRENET", "auto"])  # opt-in since round 4
     import models.pose_hrnet as ref_hrnet
     from buctd_tpu.models.hrnet import get_pose_net
 
