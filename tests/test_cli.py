@@ -179,7 +179,8 @@ def test_parity_eval_cli_smoke(tmp_path):
     assert r.returncode in (0, 1), r.stderr[-4000:]
     assert "| dataset | model |" in r.stdout, r.stdout[-2000:]
     verdict = json.loads(r.stdout.strip().splitlines()[-1])
-    assert {"ap", "expected", "delta", "pass"} <= set(verdict)
+    assert {"ap", "expected", "delta", "pass", "refine_trajectory"} <= set(verdict)
+    assert verdict["refine_trajectory"] == [verdict["ap"]]   # 1 round here
 
 
 @pytest.mark.slow

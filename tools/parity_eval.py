@@ -107,6 +107,7 @@ def main():
 
     refine_iters = max(int(cfg.TEST.REFINE_ITERS), 1)
     perf = None
+    trajectory = []   # per-round AP (the OCHuman 3x protocol, README.md:104)
     for it in range(refine_iters):
         valid_dataset = get_dataset(cfg, is_train=False)
         valid_loader = Loader(valid_dataset, cfg,
@@ -114,6 +115,7 @@ def main():
                               num_workers=cfg.WORKERS)
         name_values, perf = validate(cfg, valid_loader, valid_dataset, model,
                                      variables, out_dir, epoch=it, mesh=mesh)
+        trajectory.append(float(perf) * 100.0 if perf <= 1.0 else float(perf))
         logger.info("=> parity round %d: AP %.4f", it, perf)
         if it < refine_iters - 1:  # feed results back (README.md:104 protocol)
             # per-process copy: see tools/test.py (proc>0 evaluate output is
@@ -134,6 +136,9 @@ def main():
         expected, note = args.expected_ap, "user-provided target"
 
     ap = float(perf) * 100.0 if perf <= 1.0 else float(perf)
+    if len(trajectory) > 1:
+        print("# refine trajectory: AP "
+              + " -> ".join(f"{t:.2f}" for t in trajectory))
     print("\n| dataset | model | ours (AP) | reference (AP) | delta | verdict |")
     print("|---|---|---|---|---|---|")
     if expected is None:
@@ -146,7 +151,7 @@ def main():
           f"{'PASS' if ok else 'FAIL'} |")
     print(f"# target: {note}; tolerance {AP_TOLERANCE} AP (BASELINE.json)")
     print(json.dumps({"ap": ap, "expected": expected, "delta": delta,
-                      "pass": bool(ok)}))
+                      "pass": bool(ok), "refine_trajectory": trajectory}))
     return 0 if ok else 1
 
 
