@@ -54,7 +54,14 @@ def _flash(q, k, v, scale, dropout=0.0, rng=None):
     q3, k3, v3 = (x.reshape(B * h, x.shape[2], x.shape[3]) for x in (q, k, v))
     seed = (jax.random.randint(rng, (), 0, np.iinfo(np.int32).max, jnp.int32)
             if rng is not None else jnp.zeros((), jnp.int32))
-    out = flash_attention(q3, k3, v3, seed, float(scale), float(dropout))
+    try:
+        # forced 'flash' off-TPU (CPU tests) runs the interpreter — Mosaic
+        # only lowers for real TPU backends
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:
+        interpret = True
+    out = flash_attention(q3, k3, v3, seed, float(scale), float(dropout),
+                          interpret)
     return out.reshape(B, h, nq, v.shape[3])
 
 

@@ -418,12 +418,13 @@ def _pick_blocks(l_q: int, l_k: int, bwd: bool = False):
     # SHAPE, so the forward and backward must tile identically for the VJP to
     # see the same realization — dropout>0 forces the backward's 768 blocks in
     # the forward too (callers pass bwd=True; test_dropout_blocks_match).
+    # 1152^2 tiles (6912 = 6*1152, zero padded rows, 27% fewer grid steps)
+    # were tried and measured SLOWER than padded 1024^2 on chip (59.4 vs
+    # 55.0 ms CoAM-stage2 b128, 29.5 vs 27.1 ms TransPose — bench_flash
+    # --levers, perf_logs/r4_queue2.log): the op is VPU-transcendental-bound,
+    # so the step count doesn't matter and the bigger tile only adds live-
+    # intermediate pressure.  1024 stays the cap.
     cap = 768 if bwd else 1024
-    if not bwd and l_q % 1152 == 0 and l_k % 1152 == 0:
-        # the BUCTD length 6912 = 6*1152: 1152^2 tiles give 36 grid steps per
-        # bh slice vs 49 at padded-1024^2 (27% fewer) with ZERO padded rows,
-        # and the two live f32 intermediates (10.6 MB) still fit scoped vmem
-        cap = 1152
     if not bwd and os.environ.get("BUCTD_FLASH_TILE"):   # bench A/B only
         cap = int(os.environ["BUCTD_FLASH_TILE"])
     return (min(cap, _ceil_to(l_q, LANES)), min(cap, _ceil_to(l_k, LANES)))
@@ -457,13 +458,19 @@ def _flash_fwd_impl(q, k, v, seed, scale, dropout, interpret):
     # dropout masks regenerate per-tile in the backward: tile like the
     # backward (768^2) whenever dropout is live, so fwd and VJP draw the SAME
     # masks; the big-tile fast path stays for the dropout-free eval/serving
-    # bf16 softmax tiles for bf16 operands (f32 operands = the AP-parity eval
-    # path keep the f32 chain); BUCTD_FLASH_F32_SOFTMAX=1 forces f32 tiles
+    # f32 softmax tiles by default: bf16 exp tiles measured SLOWER on chip
+    # (55.7 vs 55.0 ms CoAM, 28.7 vs 27.1 ms TransPose — the v5e VPU has no
+    # 2x bf16 packing for transcendentals, so the casts are pure overhead)
+    # AND less accurate (2.6e-3 rel err).  BUCTD_FLASH_BF16_SOFTMAX=1 keeps
+    # the bf16 tiles reachable for A/B.
     sm_dtype = (jnp.bfloat16
                 if q.dtype == jnp.bfloat16
-                and os.environ.get("BUCTD_FLASH_F32_SOFTMAX") != "1"
+                and os.environ.get("BUCTD_FLASH_BF16_SOFTMAX") == "1"
                 else jnp.float32)
-    # default OFF until the on-chip A/B validates it (flip after measurement)
+    # kv-resident kernels: measured a wash vs the grid kernels (56.0 vs
+    # 55.0 ms CoAM, 32.5 vs 27.1 ms TransPose) — the bottleneck is the
+    # in-step serial MXU->VPU-exp->MXU chain, not the grid-step count, so
+    # fewer steps buy nothing.  Kept env-gated for A/B; default off.
     if os.environ.get("BUCTD_FLASH_KVRES", "0") != "0":
         return _flash_fwd_kvres(q, k, v, seed, scale, dropout, interpret,
                                 sm_dtype)
@@ -518,7 +525,7 @@ def _flash_fwd_kvres(q, k, v, seed, scale, dropout, interpret, sm_dtype):
     masks regenerate per logical tile, so forward and VJP must tile alike);
     f32 operands cap at 768 (s AND p tiles are f32: 1152^2 would put ~17 MB
     of intermediates + dma scratch on the 16 MB scoped-vmem stack); bf16
-    serving uses 1152^2 when L divides (the BUCTD 6912 = 6x1152) else 1024.
+    serving follows _pick_blocks (1024^2; BUCTD_FLASH_TILE overrides).
     """
     bh, l_q, d = q.shape
     l_k = k.shape[1]
@@ -865,6 +872,72 @@ def _seed1(seed):
     return jnp.asarray(seed, jnp.int32).reshape(1)
 
 
+# --------------------------------------------------------------- vmap rule ----
+# custom_partitioning has no batching rule in JAX, but attention over the
+# folded batch*heads axis vmaps trivially: fold the vmapped dim INTO dim 0 and
+# unfold the results.  Without this, jax.vmap over anything containing a
+# flash call (e.g. serving's batched multi-image predict_batch vmapping the
+# whole refine loop) dies with "Batching rule for 'custom_partitioning' not
+# implemented".
+
+def _fold(x, batched, axis_size):
+    if batched:
+        return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+    return jnp.broadcast_to(x[None], (axis_size,) + x.shape).reshape(
+        (axis_size * x.shape[0],) + x.shape[1:])
+
+
+def _unfold(x, axis_size):
+    return x.reshape((axis_size, x.shape[0] // axis_size) + x.shape[1:])
+
+
+def _fwd_call(scale, dropout, interpret):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def call(q, k, v, seed1):
+        return _FWD_SPMD(q, k, v, seed1, scale, dropout, interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, q, k, v, seed1):
+        if in_batched[3] and dropout > 0.0:
+            # one kernel call draws one seed stream; per-element seeds would
+            # silently correlate.  No caller vmaps a live-dropout flash today.
+            raise NotImplementedError(
+                "vmap over flash_attention with per-element dropout seeds")
+        seed = seed1[0] if in_batched[3] else seed1
+        out, lse = call(_fold(q, in_batched[0], axis_size),
+                        _fold(k, in_batched[1], axis_size),
+                        _fold(v, in_batched[2], axis_size), seed)
+        return (_unfold(out, axis_size), _unfold(lse, axis_size)), (True, True)
+
+    return call
+
+
+def _bwd_call(scale, dropout, interpret):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def call(q, k, v, seed1, lse, out, dout):
+        return _BWD_SPMD(q, k, v, seed1, scale, dropout, interpret,
+                         lse, out, dout)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, q, k, v, seed1, lse, out, dout):
+        if in_batched[3] and dropout > 0.0:
+            raise NotImplementedError(
+                "vmap over flash_attention VJP with per-element dropout seeds")
+        seed = seed1[0] if in_batched[3] else seed1
+        args = [_fold(a, b, axis_size)
+                for a, b in zip((q, k, v), in_batched[:3])]
+        args += [seed] + [_fold(a, b, axis_size)
+                          for a, b in zip((lse, out, dout), in_batched[4:])]
+        dq, dk, dv = call(*args)
+        return tuple(_unfold(g, axis_size) for g in (dq, dk, dv)), (True,) * 3
+
+    return call
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(q, k, v, seed=0, scale=1.0, dropout=0.0, interpret=False):
     """out = dropout(softmax(q k^T * scale)) @ v without materializing (L, L).
@@ -879,19 +952,19 @@ def flash_attention(q, k, v, seed=0, scale=1.0, dropout=0.0, interpret=False):
         f"{v.shape[2]} != {q.shape[2]} — use the mapped-GEMM path instead")
     if _TRACE:
         TRACE_SHAPES.append((q.shape[0], q.shape[1], k.shape[1], q.shape[2]))
-    out, _ = _FWD_SPMD(q, k, v, _seed1(seed), scale, dropout, interpret)
+    out, _ = _fwd_call(scale, dropout, interpret)(q, k, v, _seed1(seed))
     return out
 
 
 def _flash_fwd_rule(q, k, v, seed, scale, dropout, interpret):
-    out, lse = _FWD_SPMD(q, k, v, _seed1(seed), scale, dropout, interpret)
+    out, lse = _fwd_call(scale, dropout, interpret)(q, k, v, _seed1(seed))
     return out, (q, k, v, seed, lse, out)
 
 
 def _flash_bwd_rule(scale, dropout, interpret, res, dout):
     q, k, v, seed, lse, out = res
-    dq, dk, dv = _BWD_SPMD(q, k, v, _seed1(seed), scale, dropout, interpret,
-                           lse, out, dout)
+    dq, dk, dv = _bwd_call(scale, dropout, interpret)(
+        q, k, v, _seed1(seed), lse, out, dout)
     return dq, dk, dv, jnp.zeros_like(jnp.asarray(seed))
 
 

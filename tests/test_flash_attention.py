@@ -94,6 +94,41 @@ def test_flash_kvres_forward_and_backward(monkeypatch, bh, lq, lk, d):
                                    rtol=1e-3, err_msg=f"d{name}")
 
 
+def test_flash_vmap_folds_into_bh():
+    """jax.vmap over flash_attention (the serving batched path vmaps the whole
+    refine loop) folds the vmapped dim into BH via the custom_vmap rule —
+    custom_partitioning itself has no batching rule.  Forward AND grad."""
+    n, bh, l, d = 3, 2, 256, 48
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(n, bh, l, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, bh, l, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, bh, l, d).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+
+    fn = lambda q, k, v: flash_attention(q, k, v, 0, scale, 0.0, True)
+    got = jax.vmap(fn)(q, k, v)
+    want = jnp.stack([fn(q[i], k[i], v[i]) for i in range(n)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    # unbatched kv broadcast across the vmapped dim
+    got_b = jax.vmap(fn, in_axes=(0, None, None))(q, k[0], v[0])
+    want_b = jnp.stack([fn(q[i], k[0], v[0]) for i in range(n)])
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               atol=2e-5, rtol=2e-5)
+
+    g = jnp.asarray(rng.randn(n, bh, l, d).astype(np.float32))
+    got_g = jax.vmap(jax.grad(
+        lambda q, k, v, g: jnp.sum(fn(q, k, v) * g), argnums=(0, 1, 2)
+    ))(q, k, v, g)
+    want_g = jax.grad(
+        lambda q, k, v: sum(jnp.sum(fn(q[i], k[i], v[i]) * g[i])
+                            for i in range(n)), argnums=(0, 1, 2))(q, k, v)
+    for gg, ww, name in zip(got_g, want_g, "qkv"):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww), atol=5e-4,
+                                   rtol=1e-3, err_msg=f"d{name}")
+
+
 def test_flash_bf16_inputs():
     bh, l, d = 1, 256, 48
     rng = np.random.RandomState(2)
@@ -129,16 +164,24 @@ def test_attend_routes_to_flash(monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
-def test_pick_blocks_1152_exact_tiling():
-    """L=6912 (the BUCTD stage-2 length) tiles as 6x 1152^2 forward blocks
-    (zero padded rows); non-multiples keep the 1024 cap; backward keeps 768
-    (vmem-stack bound, PERF.md)."""
+def test_pick_blocks_tiling():
+    """Forward caps at 1024^2 (1152^2 zero-pad tiles measured slower on chip,
+    round 4 — the op is VPU-bound so step count doesn't matter); backward
+    keeps 768 (vmem-stack bound, PERF.md); BUCTD_FLASH_TILE overrides for
+    bench A/Bs."""
     from buctd_tpu.ops.flash_attention import _pick_blocks
 
-    assert _pick_blocks(6912, 6912) == (1152, 1152)
-    assert _pick_blocks(1728, 1728) == (1024, 1024)     # 1728 % 1152 != 0
+    assert _pick_blocks(6912, 6912) == (1024, 1024)
+    assert _pick_blocks(1728, 1728) == (1024, 1024)
     assert _pick_blocks(6912, 6912, bwd=True) == (768, 768)
     assert _pick_blocks(300, 300) == (384, 384)         # lane-rounded small L
+    import os
+    os.environ["BUCTD_FLASH_TILE"] = "1152"
+    try:
+        assert _pick_blocks(6912, 6912) == (1152, 1152)
+        assert _pick_blocks(6912, 6912, bwd=True) == (768, 768)
+    finally:
+        del os.environ["BUCTD_FLASH_TILE"]
 
 
 def test_trace_shapes_logged_flops():

@@ -90,6 +90,28 @@ def test_pose_estimator_predict_batch_matches_per_image():
         np.testing.assert_allclose(batched[i], single, atol=1e-3, rtol=1e-3)
 
 
+def test_pose_estimator_predict_batch_coam_flash(monkeypatch):
+    """Batched serving of an ATTENTION model with the flash engine forced:
+    predict_batch vmaps the whole refine loop, so the flash kernel must vmap
+    (custom_vmap BH-fold rule — round 4; the raw custom_partitioning has no
+    batching rule and died with NotImplementedError on the TPU)."""
+    from buctd_tpu.serving import PoseEstimator
+
+    monkeypatch.setenv("BUCTD_ATTENTION_ENGINE", "flash")
+    cfg = _cfg(TINY + ["MODEL.NAME", "pose_hrnet_coam"])
+    est = PoseEstimator(cfg, refine_iters=1)
+
+    rng = np.random.RandomState(4)
+    imgs = [rng.randint(0, 255, (180, 240, 3)).astype(np.uint8),
+            rng.randint(0, 255, (200, 220, 3)).astype(np.uint8)]
+    conds = [rng.uniform(30, 150, (2, 17, 2)).astype(np.float32),
+             rng.uniform(30, 150, (2, 17, 2)).astype(np.float32)]
+    batched = est.predict_batch(imgs, conds)
+    for i, (im, cs) in enumerate(zip(imgs, conds)):
+        single = est.predict(im, cs)
+        np.testing.assert_allclose(batched[i], single, atol=1e-3, rtol=1e-3)
+
+
 def test_pose_estimator_predict_batch_budget_fallback():
     """When the compile budget blocks a batched shape, those images fall back
     to the per-image path instead of compiling."""

@@ -127,21 +127,22 @@ def bench_levers():
     import os
     print("== per-lever forward isolation (bf16 operands) ==", flush=True)
     configs = [
-        # (label, KVRES, F32_SOFTMAX, TILE)
-        ("grid  1024^2 f32-softmax (r3 base)", "0", "1", "1024"),
-        ("grid  1024^2 bf16-softmax",          "0", "",  "1024"),
-        ("grid  1152^2 bf16-softmax (r3 dflt)", "0", "",  ""),
-        ("kvres 1152^2 bf16-softmax",          "1", "",  ""),
-        ("kvres 1152^2 f32-softmax",           "1", "1", ""),
+        # (label, KVRES, BF16_SOFTMAX, TILE) — grid/1024/f32 won the round-4
+        # A/B (perf_logs/r4_queue2.log) and is now the default
+        ("grid  1024^2 f32-softmax (dflt)",    "0", "",  "1024"),
+        ("grid  1024^2 bf16-softmax",          "0", "1", "1024"),
+        ("grid  1152^2 bf16-softmax (r3 dflt)", "0", "1", "1152"),
+        ("kvres 1152^2 bf16-softmax",          "1", "1", "1152"),
+        ("kvres 1152^2 f32-softmax",           "1", "",  "1152"),
     ]
     for name, bh, l, d in [("CoAM-stage2 b128", 128, 6912, 48),
                            ("TransPose b16 (x6 layers)", 16, 6912, 112)]:
         q, k, v = _mk(bh, l, d, jnp.bfloat16)
         scale = 1.0 / np.sqrt(d)
         ref = None
-        for label, kvres, f32sm, tile in configs:
+        for label, kvres, bf16sm, tile in configs:
             os.environ["BUCTD_FLASH_KVRES"] = kvres
-            os.environ["BUCTD_FLASH_F32_SOFTMAX"] = f32sm
+            os.environ["BUCTD_FLASH_BF16_SOFTMAX"] = bf16sm
             if tile:
                 os.environ["BUCTD_FLASH_TILE"] = tile
             else:
@@ -163,7 +164,7 @@ def bench_levers():
             except Exception as e:
                 print(f"  {name:26s} {label:36s}: FAILED "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
-        for kk in ("BUCTD_FLASH_KVRES", "BUCTD_FLASH_F32_SOFTMAX",
+        for kk in ("BUCTD_FLASH_KVRES", "BUCTD_FLASH_BF16_SOFTMAX",
                    "BUCTD_FLASH_TILE"):
             os.environ.pop(kk, None)
 
