@@ -252,6 +252,17 @@ class PoseEstimator:
                     continue
                 nb = _bucket(len(chunk), self.count_buckets)
                 bkey = (nb, hb, wb, pb)
+                if bkey not in self._compiled:
+                    # prefer the smallest ALREADY-COMPILED count bucket that
+                    # contains the chunk: pad rows ride an existing program
+                    # (remainder chunks otherwise compile a fresh nb shape per
+                    # epilogue — 6 surprise multi-minute compiles in the
+                    # round-4 bench_serve stream)
+                    fits = sorted(k[0] for k in self._compiled
+                                  if len(k) == 4 and k[1:] == (hb, wb, pb)
+                                  and k[0] >= len(chunk))
+                    if fits:
+                        nb, bkey = fits[0], (fits[0], hb, wb, pb)
                 if not (bkey in self._compiled
                         or len(self._compiled) < self.max_compiles):
                     logger.warning("batched shape %s needs a new compile but "

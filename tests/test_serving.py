@@ -90,6 +90,32 @@ def test_pose_estimator_predict_batch_matches_per_image():
         np.testing.assert_allclose(batched[i], single, atol=1e-3, rtol=1e-3)
 
 
+def test_pose_estimator_predict_batch_remainder_reuses_count_bucket():
+    """A remainder chunk (len < any count bucket boundary it hashed to) rides
+    the smallest ALREADY-COMPILED count bucket via row padding instead of
+    compiling a fresh (n, h, w, p) shape (round-4 bench_serve found 6 surprise
+    compiles from chunk epilogues)."""
+    from buctd_tpu.serving import PoseEstimator
+
+    cfg = _cfg(TINY)
+    est = PoseEstimator(cfg, refine_iters=1, precompile=[(4, 256, 256, 4)])
+    assert est._compiled == {(4, 256, 256, 4)}
+
+    rng = np.random.RandomState(6)
+    imgs = [rng.randint(0, 255, (180, 240, 3)).astype(np.uint8)
+            for _ in range(3)]
+    conds = [rng.uniform(30, 150, (3, 17, 2)).astype(np.float32)
+             for _ in range(3)]                 # 3 poses -> pose bucket 4
+    out = est.predict_batch(imgs, conds)   # nb buckets to 4 — precompiled
+    assert est._compiled == {(4, 256, 256, 4)}, est._compiled
+    assert all(o.shape == (3, 17, 3) for o in out)
+
+    # a 2-image chunk would bucket to nb=2 — it must ride the compiled
+    # 4-bucket via row padding instead of compiling (2, 256, 256, 4)
+    est.predict_batch(imgs[:2], conds[:2])
+    assert est._compiled == {(4, 256, 256, 4)}, est._compiled
+
+
 def test_pose_estimator_predict_batch_coam_flash(monkeypatch):
     """Batched serving of an ATTENTION model with the flash engine forced:
     predict_batch vmaps the whole refine loop, so the flash kernel must vmap
