@@ -256,6 +256,40 @@ def measure_refine(poses=16):
     return _time_fetch(run) * 1e3, poses   # ms/image
 
 
+def measure_serving(nb=8, hb=768, wb=1024, pb=16):
+    """Device-resident predict_batch program (serving.py's vmapped refine) on
+    one crowded bucket: uint8 decode -> full-res crop-warp -> colored render
+    -> CoAM forward -> decode for nb images x pb poses.  Device-resident =
+    the deployable number (a production host feeds over PCIe; this tunnel's
+    45 MB/s transfer is measured separately in tools/bench_serve.py)."""
+    import jax.numpy as jnp
+
+    from buctd_tpu.serving import PoseEstimator
+
+    cfg = _cfg_for("/root/repo/experiments/coco/buctd/coam_w48_384x288.yaml",
+                   ["TPU.EVAL_DTYPE", "bfloat16"])
+    est = PoseEstimator(cfg, refine_iters=1, max_compiles=4)
+    fn = est._ensure_refine_batch()
+    J = est.num_joints
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray((rng.rand(nb, hb, wb, 3) * 255).astype(np.uint8))
+    cnds = jnp.asarray(np.concatenate(
+        [rng.rand(nb, pb, J, 2) * [wb, hb], np.ones((nb, pb, J, 1))],
+        -1).astype(np.float32))
+    whs = jnp.asarray(np.tile([wb, hb], (nb, 1)).astype(np.float32))
+
+    def run(n):
+        acc = None
+        for _ in range(n):
+            p, m = fn(est.variables, imgs, cnds, whs)
+            s = p.sum() + m.sum()
+            acc = s if acc is None else acc + s
+        return float(acc)
+
+    dt = _time_fetch(run, steps=5)
+    return nb * pb / dt, (nb, hb, wb, pb)
+
+
 def measure_torch_cpu():
     """Reference pipeline, run (not copied) from /root/reference on CPU."""
     import cv2
@@ -338,10 +372,10 @@ def main():
     if platform == "cpu":
         record["note"] = (
             "axon relay tunnel unreachable -> tiny-batch CPU fallback run; "
-            "last on-chip v5e numbers: 1131 crops/s/chip e2e b384 (BENCH_r02), "
-            "CoAM-W48 823 crops/s b192 + refine 84 ms/image with the round-3 "
-            "flash kernels (PERF.md); tools/relay_watch.sh re-measures when "
-            "the tunnel returns")
+            "last on-chip v5e numbers (round 4, perf_logs/r4_queue.log): "
+            "1131 crops/s/chip e2e b384, CoAM-W48 831 crops/s b192, refine "
+            "84 ms/image, serving ~470-500 device-resident crops/s (PERF.md); "
+            "tools/relay_watch.sh re-measures when the tunnel returns")
     # the OCHuman/CrowdPose flagship (CoAM-W48 + 3x refinement, README.md:104)
     # and the TransPose family, so the driver-captured JSON evidences every
     # headline model, not just preNet (VERDICT r2 item 4).  Skipped on the CPU
@@ -369,6 +403,12 @@ def main():
             record[f"coam_refine3x_ms_per_image_p{p}"] = round(ms, 1)
         except Exception as e:
             print(f"# refine bench failed: {e!r}", file=sys.stderr)
+        try:
+            cps, (nb, hb, wb, pb) = measure_serving()
+            record[f"serving_device_crops_per_sec_{nb}x{hb}x{wb}_p{pb}"] = (
+                round(cps, 1))
+        except Exception as e:
+            print(f"# serving bench failed: {e!r}", file=sys.stderr)
     print(json.dumps(record))
 
 
