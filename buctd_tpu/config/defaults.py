@@ -216,6 +216,13 @@ def default_config() -> CN:
     # wherever maybe_fuse_prenet is wired (tools/test.py, serving,
     # tools/inference.py, bench.py); kept as an opt-in knob.
     _C.TPU.FUSED_PRENET = "off"
+    # run the optimizer update in flattened-parameter space (train/state.py::
+    # _fused_flat): HRNet's ~1000 leaves looked like an epilogue of ~1000 tiny
+    # fusions, but the on-chip A/B (tools/bench_fused_opt.py, PERF.md round 4)
+    # measured the flat form 6.5 ms/step SLOWER at b128 — the ravel/unravel
+    # concatenate traffic costs more than the per-leaf overhead it removes.
+    # Default off; kept as a knob with a math-parity test (test_train.py).
+    _C.TPU.FUSED_OPTIMIZER = False
 
     return _C
 

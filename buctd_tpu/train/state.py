@@ -45,6 +45,38 @@ def make_lr_schedule(cfg, steps_per_epoch: int):
     return optax.piecewise_constant_schedule(base, boundaries)
 
 
+def _fused_flat(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run a GradientTransformation in flattened-parameter space.
+
+    HRNet-family models carry ~1000 leaves (hundreds of 48-384-element BN
+    scale/bias vectors), which made the per-leaf optax epilogue look like
+    ~1000 tiny fusions worth collapsing — but the interleaved on-chip A/B
+    (tools/bench_fused_opt.py) measured the flat form 6.5 ms/step SLOWER at
+    b128 (466.6 vs 460.2 ms median): XLA already fuses the per-leaf update
+    well, and ravel_pytree's concatenate/slice round-trip adds ~2 extra
+    params-sized HBM passes.  Kept as an opt-in knob (TPU.FUSED_OPTIMIZER,
+    default off) with a math-parity test; the math is unchanged
+    (adam/sgd/weight-decay are elementwise, and the schedule count lives in
+    the inner state either way).  Updates come back unravelled so
+    ``optax.apply_updates`` and checkpoint templates see the normal tree;
+    only the opt_state layout changes (flat m/v), which orbax round-trips
+    like any other pytree.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return tx.init(flat)
+
+    def update(grads, state, params=None):
+        flat_g, unravel = ravel_pytree(grads)
+        flat_p = ravel_pytree(params)[0] if params is not None else None
+        flat_u, state = tx.update(flat_g, state, flat_p)
+        return unravel(flat_u), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg, steps_per_epoch: int):
     # gradient accumulation (no reference counterpart): k micro-batches average
     # into one optimizer step, so large effective batches fit small meshes.
@@ -65,6 +97,10 @@ def make_optimizer(cfg, steps_per_epoch: int):
     if k > 1:
         # averages grads over k update calls; params change only on the k-th
         tx = optax.MultiSteps(tx, every_k_schedule=k)
+    if bool(getattr(cfg.TPU, "FUSED_OPTIMIZER", False)):
+        # fusion wraps OUTSIDE MultiSteps so the grad accumulator is the flat
+        # vector too (one big add instead of ~1000 leaf adds per micro-step)
+        tx = _fused_flat(tx)
     return tx, sched
 
 

@@ -186,6 +186,56 @@ def test_grad_accum_lr_schedule_counts_optimizer_steps():
     assert float(sched(30)) == pytest.approx(0.001)     # epoch-3 boundary
 
 
+@pytest.mark.parametrize("opt_opts", [
+    [],                                                   # adam (reference default)
+    ["TRAIN.OPTIMIZER", "sgd", "TRAIN.WD", "0.0001",
+     "TRAIN.MOMENTUM", "0.9", "TRAIN.NESTEROV", "True"],  # sgd chain (uses params)
+    ["TRAIN.GRAD_ACCUM_STEPS", "2"],                      # MultiSteps inside fusion
+])
+def test_fused_optimizer_matches_per_leaf(opt_opts):
+    """TPU.FUSED_OPTIMIZER (state.py::_fused_flat) runs the update in flat-
+    parameter space purely for speed (HRNet's ~1000 leaves); the trajectory
+    must match the per-leaf optax form leaf-for-leaf."""
+    from buctd_tpu.models import get_model
+    from buctd_tpu.train.state import create_train_state, make_train_step
+
+    tiny = ["MODEL.IMAGE_SIZE", "[64, 64]", "MODEL.HEATMAP_SIZE", "[16, 16]",
+            "MODEL.EXTRA.STAGE2.NUM_MODULES", "1",
+            "MODEL.EXTRA.STAGE3.NUM_MODULES", "1",
+            "MODEL.EXTRA.STAGE4.NUM_MODULES", "1"]
+    rng = np.random.RandomState(0)
+    B = 2
+    from buctd_tpu.ops import generate_target
+    joints = rng.rand(B, 17, 2).astype(np.float32) * 56 + 4
+    tgt, _ = generate_target(jnp.array(joints), jnp.ones((B, 17)),
+                             (64, 64), (16, 16), 2)
+    batch = {
+        "input": rng.rand(B, 64, 64, 3).astype(np.float32),
+        "target": np.asarray(tgt).transpose(0, 2, 3, 1),
+        "target_weight": np.ones((B, 17), np.float32),
+    }
+
+    def run(fused):
+        cfg = _small_cfg(tiny + opt_opts
+                         + ["TPU.FUSED_OPTIMIZER", str(fused)])
+        model = get_model(cfg)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 3)), steps_per_epoch=10)
+        step = make_train_step(cfg, model)
+        for _ in range(3):
+            state, _ = step(state, batch, jax.random.PRNGKey(1))
+        return jax.tree.map(np.asarray, state.params)
+
+    got, want = run(True), run(False)
+    # rtol: flat-vs-per-leaf changes XLA's elementwise fusion shapes, and
+    # adam's update is ~lr*sign(g) for near-zero grads — 1-ulp rounding
+    # differences amplify chaotically over the 3 steps (same effect as the
+    # adam note in test_distributed.py).  Observed: 3/590k elements past
+    # 1e-6 after 3 steps.
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from buctd_tpu.models import get_model
     from buctd_tpu.train.state import create_train_state
