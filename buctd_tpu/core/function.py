@@ -233,29 +233,15 @@ def validate(cfg, val_loader, val_dataset, model, variables, output_dir,
 
     if _jax.process_count() > 1:
         # Merge the per-process shards into the full prediction set on every
-        # host.  Image paths are rebuilt from the (identical, fully-loaded) db
-        # on each host via the GATHERED per-row db indices instead of gathering
-        # strings — structurally correct for any eval order, shuffled or not.
-        # Annotation ids ride as int32 halves: x64 is off, so a float32 gather
-        # would corrupt ids above 2^24 (CrowdPose has them).
-        from jax.experimental import multihost_utils as mhu
-
-        from ..parallel.mesh import allgather_rows
-        counts = np.asarray(mhu.process_allgather(np.asarray(idx, np.int32)))
-
-        def _gather(a):
-            return allgather_rows(a, idx, num_samples, counts=counts)
-
-        ids = all_boxes[:num_samples, 6].astype(np.int64)
-        hi = _gather((ids >> 31).astype(np.int32)).astype(np.int64)
-        lo = _gather((ids & 0x7FFFFFFF).astype(np.int32)).astype(np.int64)
-        boxes_g = _gather(all_boxes[:, :6].astype(np.float32)).astype(np.float64)
-        all_preds = _gather(all_preds)
-        all_boxes = np.concatenate(
-            [boxes_g, ((hi << 31) | lo).astype(np.float64)[:, None]], axis=1)
-        db_idx_g = _gather(all_db_idx.astype(np.int32)).astype(np.int64)
+        # host (parallel/mesh.py dcn_merge_rows holds the int32 id-split and
+        # db-index invariants).  Image paths are rebuilt from the (identical,
+        # fully-loaded) db on each host via the GATHERED per-row db indices
+        # instead of gathering strings — structurally correct for any eval
+        # order, shuffled or not.
+        from ..parallel.mesh import dcn_merge_rows
+        all_preds, all_boxes, db_idx_g, idx = dcn_merge_rows(
+            all_preds, all_boxes, all_db_idx, idx, num_samples)
         image_path = [val_dataset.db[int(j)]["image"] for j in db_idx_g]
-        idx = int(counts.sum())
         if _jax.process_index() > 0:
             # every host runs the identical evaluate; secondary processes write
             # their copies under a per-process subdir so a SHARED filesystem
@@ -373,9 +359,17 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
         B = batch["input"].shape[0]
         n = int(batch["valid"].sum())
         for lam in lambda_vals:
-            lambda_vec = jnp.concatenate(
-                [jnp.full((B, 1), float(lam), jnp.float32),
-                 jnp.full((B, 1), 1.0 - float(lam), jnp.float32)], axis=1)
+            # B is the process-LOCAL row count; under a mesh the step's
+            # lambda_vec is data-sharded like the rest of the batch, so it must
+            # ride the same process-local -> global assembly as dev_batch
+            lv = np.concatenate(
+                [np.full((B, 1), float(lam), np.float32),
+                 np.full((B, 1), 1.0 - float(lam), np.float32)], axis=1)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+                lambda_vec = shard_batch(lv, mesh)
+            else:
+                lambda_vec = jnp.asarray(lv)
             preds, maxvals, loss, a, cnt = step(variables, dev_batch, lambda_vec)
             from ..parallel.mesh import host_local_rows
             preds, maxvals = host_local_rows(preds), host_local_rows(maxvals)
@@ -402,30 +396,15 @@ def validate_lambda_quantitative(cfg, val_loader, val_dataset, model, variables,
                         acc.val, acc.avg)
 
     if jax.process_count() > 1:
-        # DCN merge, same scheme as validate(): int32-split annotation ids,
-        # paths rebuilt from gathered db indices (λ rows repeat the db row)
+        # DCN merge, same helper as validate(): int32-split annotation ids in
+        # column 6 (λ in column 7 rides as a float), paths rebuilt from
+        # gathered db indices (λ rows repeat the db row)
         import os as _os
 
-        from jax.experimental import multihost_utils as mhu
-
-        from ..parallel.mesh import allgather_rows
-        counts = np.asarray(mhu.process_allgather(np.asarray(idx, np.int32)))
-
-        def _gather(a):
-            return allgather_rows(a, idx, num_samples, counts=counts)
-
-        ids = all_boxes[:num_samples, 6].astype(np.int64)
-        hi = _gather((ids >> 31).astype(np.int32)).astype(np.int64)
-        lo = _gather((ids & 0x7FFFFFFF).astype(np.int32)).astype(np.int64)
-        cols = list(range(6)) + [7]
-        boxes_g = _gather(all_boxes[:, cols].astype(np.float32)).astype(np.float64)
-        all_preds = _gather(all_preds)
-        all_boxes = np.concatenate(
-            [boxes_g[:, :6], ((hi << 31) | lo).astype(np.float64)[:, None],
-             boxes_g[:, 6:7]], axis=1)
-        db_idx_g = _gather(all_db_idx.astype(np.int32)).astype(np.int64)
+        from ..parallel.mesh import dcn_merge_rows
+        all_preds, all_boxes, db_idx_g, idx = dcn_merge_rows(
+            all_preds, all_boxes, all_db_idx, idx, num_samples)
         image_path = [val_dataset.db[int(j)]["image"] for j in db_idx_g]
-        idx = int(counts.sum())
         if jax.process_index() > 0:
             output_dir = _os.path.join(output_dir, f"proc{jax.process_index()}")
 

@@ -49,10 +49,13 @@ def initialize_distributed(coordinator_address: str | None = None,
 def is_primary() -> bool:
     """True on process 0 (or in any single-process run).
 
-    Multi-host persistence gate: checkpoint saves, the log FileHandler,
-    MetricWriter files, and debug-image dumps run on the primary host only —
-    the reference is single-process (lib/utils/utils.py:303-308) so N hosts
-    racing the same output paths has no reference semantics to preserve.
+    Multi-host persistence gate: the log FileHandler and MetricWriter files
+    open on the primary host only — the reference is single-process
+    (lib/utils/utils.py:303-308) so N hosts racing the same output paths has
+    no reference semantics to preserve.  NOT gated here: checkpoint saves
+    (every host must join orbax's internal barriers; orbax itself writes from
+    the primary only — train/checkpoint.py), debug-image dumps and eval
+    results (every host writes its own per-process-tagged path).
     """
     return jax.process_index() == 0
 

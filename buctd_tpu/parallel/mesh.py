@@ -101,3 +101,44 @@ def allgather_rows(local: np.ndarray, count: int, capacity: int, counts=None):
     gathered = np.asarray(mhu.process_allgather(pad))
     return np.concatenate(
         [gathered[q, :int(counts[q])] for q in range(gathered.shape[0])], axis=0)
+
+
+def dcn_merge_rows(all_preds: np.ndarray, all_boxes: np.ndarray,
+                   all_db_idx: np.ndarray, count: int, capacity: int,
+                   id_col: int = 6):
+    """Merge per-process (preds, boxes, db-index) eval blocks over DCN.
+
+    The shared tail of ``core.function.validate`` and the λ-sweep (reference
+    accumulation loop: lib/core/function.py:255-273): each process contributes
+    ``[:count]`` valid rows out of its padded ``capacity``; the result is the
+    full prediction set in process order on EVERY host.  The tricky invariants
+    live here once:
+
+    - ``all_boxes[:, id_col]`` carries int64 annotation ids; x64 is disabled, so
+      a float32 gather would corrupt ids above 2^24 (CrowdPose has them) — the
+      ids ride as two int32 halves and are reassembled exactly.
+    - db indices gather as int32 so callers rebuild image paths from the local
+      (identical, fully-loaded) db — structurally correct for ANY eval order.
+    - ONE counts collective is shared across the four row gathers.
+
+    Returns ``(preds, boxes, db_idx, total)`` with boxes float64, same column
+    layout as the input (extra columns, e.g. the λ-sweep's column 7, pass
+    through as floats).
+    """
+    from jax.experimental import multihost_utils as mhu
+    counts = np.asarray(mhu.process_allgather(np.asarray(count, np.int32)))
+
+    def _g(a):
+        return allgather_rows(a, count, capacity, counts=counts)
+
+    ids = all_boxes[:capacity, id_col].astype(np.int64)
+    hi = _g((ids >> 31).astype(np.int32)).astype(np.int64)
+    lo = _g((ids & 0x7FFFFFFF).astype(np.int32)).astype(np.int64)
+    float_cols = [c for c in range(all_boxes.shape[1]) if c != id_col]
+    boxes_f = _g(all_boxes[:, float_cols].astype(np.float32)).astype(np.float64)
+    merged = np.zeros((boxes_f.shape[0], all_boxes.shape[1]), np.float64)
+    merged[:, float_cols] = boxes_f
+    merged[:, id_col] = ((hi << 31) | lo).astype(np.float64)
+    preds_g = _g(all_preds)
+    db_idx_g = _g(all_db_idx.astype(np.int32)).astype(np.int64)
+    return preds_g, merged, db_idx_g, int(counts.sum())

@@ -10,12 +10,21 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _host(x) -> np.ndarray:
+    """Fetch an array to host numpy.  Multi-host, the train state is replicated
+    (parallel/mesh.py replicate) so the array spans non-addressable devices and
+    plain np.asarray raises; any local shard holds the full value."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
 def _to_saveable(state) -> dict:
     return {
-        "step": np.asarray(state.step),
-        "params": jax.tree.map(np.asarray, state.params),
-        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        "step": _host(state.step),
+        "params": jax.tree.map(_host, state.params),
+        "batch_stats": jax.tree.map(_host, state.batch_stats),
+        "opt_state": jax.tree.map(_host, state.opt_state),
     }
 
 
@@ -45,15 +54,13 @@ def save_checkpoint(state, output_dir: str, name: str = "checkpoint",
     in orbax's background thread.  Call ``wait_for_saves()`` (or a final blocking
     save) before exiting.
 
-    Multi-host: only process 0 writes.  The state is fully replicated across
-    hosts (parallel/mesh.py replicate), so N processes saving would just race
-    orbax's atomic rename on the SAME shared-filesystem path (the reference is
-    single-process, lib/utils/utils.py:303-308 — there is nothing per-host to
-    persist)."""
+    Multi-host: EVERY process must call this (orbax's save/finalize run
+    ``sync_global_processes`` barriers that all hosts join — gating the call to
+    process 0 deadlocks it); orbax itself writes the replicated payload from the
+    primary host only, so the shared-filesystem path sees exactly one writer
+    (the reference is single-process, lib/utils/utils.py:303-308 — there is
+    nothing per-host to persist)."""
     path = os.path.abspath(os.path.join(output_dir, name))
-    from ..parallel import is_primary
-    if not is_primary():
-        return path
     ckptr = _checkpointer()
     payload = _to_saveable(state)
     payload["perf"] = np.float64(perf if perf is not None else 0.0)

@@ -339,6 +339,27 @@ def test_allgather_rows_single_process():
     assert np.array_equal(host_local_rows(jnp.asarray(a)), a)
 
 
+def test_dcn_merge_rows_single_process():
+    """The shared validate/λ-sweep merge helper: degenerate single-process
+    path trims to the valid rows and keeps >2^24 annotation ids exact."""
+    import numpy as np
+
+    from buctd_tpu.parallel.mesh import dcn_merge_rows
+
+    preds = np.arange(24, dtype=np.float32).reshape(4, 2, 3)
+    boxes = np.random.default_rng(0).random((4, 8))
+    boxes[:, 6] = [7, 2 ** 40 + 5, 16_777_217, 3]   # breaks a float32 ride
+    db_idx = np.array([5, 9, 2, 0])
+    pg, bg, dg, n = dcn_merge_rows(preds, boxes, db_idx, 3, 4, id_col=6)
+    assert n == 3
+    assert np.array_equal(pg, preds[:3])
+    assert np.array_equal(dg, db_idx[:3])
+    assert bg[:, 6].astype(np.int64).tolist() == [7, 2 ** 40 + 5, 16_777_217]
+    np.testing.assert_allclose(
+        bg[:, [0, 1, 2, 3, 4, 5, 7]],
+        boxes[:3][:, [0, 1, 2, 3, 4, 5, 7]].astype(np.float32), rtol=0)
+
+
 @pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     with socket.socket() as s:  # free port
