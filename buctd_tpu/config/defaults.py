@@ -169,6 +169,9 @@ def default_config() -> CN:
     _C.DEBUG.SAVE_BATCH_IMAGES_PRED = False
     _C.DEBUG.SAVE_HEATMAPS_GT = False
     _C.DEBUG.SAVE_HEATMAPS_PRED = False
+    # per-IoU-bin pred dumps (reference vis.py:206-266, shipped commented out
+    # there at :436-438; here an explicit opt-in flag)
+    _C.DEBUG.SAVE_IOU_BIN_PRED = False
 
     _C.OUTPUT_JSON = None
 

@@ -75,6 +75,64 @@ def save_batch_heatmaps(batch_image, batch_heatmaps, file_name, normalize=True):
     cv2.imwrite(file_name, grid)
 
 
+def _iou_bin_name(cond_max_iou: float) -> str:
+    """The reference's crowding bins (vis.py:229-239): per-instance max IoU of
+    the condition-derived box with any other instance in the image."""
+    if cond_max_iou == 0:
+        return "0"
+    if cond_max_iou <= 0.1:
+        return "0-0.1"
+    if cond_max_iou <= 0.3:
+        return "0.1-0.3"
+    if cond_max_iou <= 0.5:
+        return "0.3-0.5"
+    return "0.5-1"
+
+
+def save_batch_pred_gt_with_joints(batch_image, batch_joints, batch_joints_vis,
+                                   meta, output_dir):
+    """Per-sample pred/GT/condition dumps sorted into per-IoU-bin directories
+    (reference: lib/utils/vis.py:206-266 ``save_batch_pred_gt_with_joints``).
+
+    Each sample is written to ``{output_dir}/{iou_bin}/{image_name}`` with the
+    prediction as blue circles, GT as red '+', and the condition pose as green
+    '*'.  Binning follows the reference's ``cond_max_iou`` ranges so crowded
+    failure cases can be browsed per crowding level.  Unlike the reference
+    (which re-reads the source image, resizes it to 256x256, and then draws
+    CROP-frame joints on it — dormant code with a coordinate mismatch), we
+    draw on the network input crop, where the joint coordinates actually live.
+    """
+    import cv2
+
+    imgs = _denormalize(batch_image)
+    joints = np.asarray(batch_joints)
+    joints_vis = np.asarray(batch_joints_vis)
+    gt_joints = np.asarray(meta["joints"])
+    cond_joints = np.asarray(meta["cond_joints"]) if "cond_joints" in meta else None
+    cond_iou = np.asarray(meta["cond_max_iou"]) if "cond_max_iou" in meta else None
+
+    for k in range(imgs.shape[0]):
+        im = cv2.cvtColor(imgs[k].copy(), cv2.COLOR_RGB2BGR)
+        for i in range(joints.shape[1]):
+            if np.asarray(joints_vis[k, i]).ravel()[0] > 0:
+                cv2.circle(im, (int(joints[k, i, 0]), int(joints[k, i, 1])),
+                           2, (255, 0, 0), 2)
+            cv2.putText(im, "+", (int(gt_joints[k, i, 0]), int(gt_joints[k, i, 1])),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.3, (0, 0, 255), 1)
+            if cond_joints is not None and cond_joints[k, i, 0] > 0 \
+                    and cond_joints[k, i, 1] > 0:
+                cv2.putText(im, "*", (int(cond_joints[k, i, 0]),
+                                      int(cond_joints[k, i, 1])),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.3, (0, 255, 0), 1)
+        bin_dir = output_dir
+        if cond_iou is not None:
+            bin_dir = os.path.join(output_dir, _iou_bin_name(float(cond_iou[k])))
+        os.makedirs(bin_dir, exist_ok=True)
+        name = meta["image"][k] if "image" in meta else f"sample{k}.jpg"
+        name = "_".join(str(name).split("/")[-2:])
+        cv2.imwrite(os.path.join(bin_dir, name), im)
+
+
 def save_debug_images(config, input, meta, target, joints_pred, output,
                       prefix):
     """Gated by DEBUG.* flags (vis.py:417-473).  All tensors NHWC numpy/jax."""
@@ -88,6 +146,11 @@ def save_debug_images(config, input, meta, target, joints_pred, output,
         vis = np.ones_like(np.asarray(meta["joints_vis"]))
         save_batch_image_with_joints(input, joints_pred, vis,
                                      f"{prefix}_pred.jpg")
+        # per-IoU-bin dumps: the reference ships this commented out
+        # (vis.py:436-438); we gate it behind its own flag instead
+        if getattr(config.DEBUG, "SAVE_IOU_BIN_PRED", False):
+            save_batch_pred_gt_with_joints(input, joints_pred, vis, meta,
+                                           f"{prefix}_pred_bins")
     if config.DEBUG.SAVE_HEATMAPS_GT:
         save_batch_heatmaps(input, target, f"{prefix}_hm_gt.jpg")
     if config.DEBUG.SAVE_HEATMAPS_PRED:

@@ -110,6 +110,72 @@ def test_save_debug_images(tmp_path):
         assert (tmp_path / f"dbg{suffix}").exists()
 
 
+def test_match_gt_to_dt_via_gtmatches(tmp_path):
+    """COCOeval-gtMatches pairing (reference qualitative_evaluation.py:71-88):
+    works on results jsons with NO annotation_id; undetected GTs map to None."""
+    ann_file, gt = _tiny_coco(tmp_path)
+    from buctd_tpu.analysis.qualitative_evaluation import match_gt_to_dt
+    from buctd_tpu.data import COCOIndex
+
+    dts = _perfect_results(gt)
+    dropped = dts.pop(2)           # GT id 3 goes undetected
+    for d in dts:
+        del d["annotation_id"]     # third-party json: no extension field
+    matched = match_gt_to_dt(COCOIndex(ann_file), dts)
+    assert set(matched) == {a["id"] for a in gt["annotations"]}
+    assert matched[dropped["annotation_id"]] is None
+    for ann in gt["annotations"]:
+        if ann["id"] == dropped["annotation_id"]:
+            continue
+        dt = matched[ann["id"]]
+        assert dt is not None and dt["image_id"] == ann["image_id"]
+        np.testing.assert_allclose(
+            np.asarray(dt["keypoints"]).reshape(-1, 3)[:, :2],
+            np.asarray(ann["keypoints"]).reshape(-1, 3)[:, :2])
+
+
+def test_binwise_qualitative_third_party_json(tmp_path):
+    """binwise_coco_evaluation on a dt json without annotation_id: gtMatches
+    pairing kicks in, unmatched GTs render with an empty prediction panel."""
+    ann_file, gt = _tiny_coco(tmp_path)
+    from buctd_tpu.analysis.qualitative_evaluation import binwise_coco_evaluation
+
+    dts = _perfect_results(gt)
+    dts.pop(1)                     # one undetected GT -> oks 0.0, still dumped
+    for d in dts:
+        del d["annotation_id"]
+    dt_file = tmp_path / "dt_plain.json"
+    dt_file.write_text(json.dumps(dts))
+    out_dir = tmp_path / "quali"
+    binwise_coco_evaluation(ann_file, str(dt_file), str(tmp_path), str(out_dir))
+    # two non-overlapping 17-kpt people per image -> bin (overlap[0], kpts 16-17)
+    dumps = sorted((out_dir / "overlap0_kpts3").glob("*.jpg"))
+    assert len(dumps) == 4
+    # worst rank = the undetected GT at oks 0.000
+    assert dumps[0].name.startswith("rank000_oks0.000")
+
+
+def test_save_iou_bin_pred_dumps(tmp_path):
+    """Per-IoU-bin pred dumps (reference vis.py:206-266) land in the right
+    crowding-bin subdirectories."""
+    from buctd_tpu.utils.vis import save_batch_pred_gt_with_joints
+
+    B, H, W, J = 4, 64, 48, 17
+    rng = np.random.RandomState(0)
+    inp = rng.randn(B, H, W, 6).astype(np.float32)
+    joints = rng.rand(B, J, 2) * 40
+    vis = np.ones((B, J, 3))
+    meta = {"joints": rng.rand(B, J, 3) * 40,
+            "cond_joints": rng.rand(B, J, 3) * 40 + 1,
+            "cond_max_iou": np.array([0.0, 0.05, 0.4, 0.9]),
+            "image": [f"dir/im{k}.jpg" for k in range(B)]}
+    out = tmp_path / "bins"
+    save_batch_pred_gt_with_joints(inp, joints, vis, meta, str(out))
+    for bin_name, fname in [("0", "dir_im0.jpg"), ("0-0.1", "dir_im1.jpg"),
+                            ("0.3-0.5", "dir_im2.jpg"), ("0.5-1", "dir_im3.jpg")]:
+        assert (out / bin_name / fname).exists(), (bin_name, fname)
+
+
 def test_vis_coco_keypoints():
     from buctd_tpu.utils.vis_coco import coco_vis_keypoints, COCO_KP_CONNECTIONS
     assert len(COCO_KP_CONNECTIONS) == 15
