@@ -308,6 +308,51 @@ def test_tie_breaking_is_mergesort_stable():
     assert ap == pytest.approx(0.5 * np.mean(np.linspace(0, 1, 101) <= 0.5))
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_crowd_index_bins_match_restricted_eval(seed):
+    """crowdIndex-binned AP (the crowdposetools extension, reference
+    crowdpose.py:121-243) must equal a FRESH eval over only that bin's
+    images: matching is per-image, so subset accumulation over pooled
+    eval-images and evaluation of the restricted dataset are the same
+    computation arrived at differently."""
+    rng = np.random.RandomState(500 + seed)
+    gt = _random_gt(rng)
+    data = gt.dataset
+    bins = {"easy": (0.0, 0.1), "medium": (0.1, 0.8), "hard": (0.8, 1.01)}
+    for img in data["images"]:
+        img["crowdIndex"] = float(rng.rand())
+    gt = COCOIndex(data)
+    dts = _random_dts(rng, gt)
+    if not dts:
+        return
+    ev = COCOKeypointEval(gt, gt.loadRes(dts), COCO_SIGMAS,
+                          area_rngs=AREA_ALL, crowd_index_bins=bins)
+    ev.evaluate()
+    ev.accumulate()
+    for name, (lo, hi) in bins.items():
+        keep = {i["id"] for i in data["images"]
+                if lo <= i["crowdIndex"] < hi}
+        sub = {"images": [i for i in data["images"] if i["id"] in keep],
+               "annotations": [a for a in data["annotations"]
+                               if a["image_id"] in keep],
+               "categories": data["categories"]}
+        sub_dts = [d for d in dts if d["image_id"] in keep]
+        if not sub["images"]:
+            assert ev._ap(name) == -1.0
+            continue
+        if not sub_dts:     # loadRes needs a non-empty list; nothing to diff
+            continue
+        sub_gt = COCOIndex(sub)
+        sub_ev = COCOKeypointEval(sub_gt, sub_gt.loadRes(sub_dts),
+                                  COCO_SIGMAS, area_rngs=AREA_ALL)
+        sub_ev.evaluate()
+        sub_ev.accumulate()
+        assert ev._ap(name) == pytest.approx(sub_ev._ap("all"), abs=1e-12), \
+            (seed, name)
+        assert ev._ar(name) == pytest.approx(sub_ev._ar("all"), abs=1e-12), \
+            (seed, name)
+
+
 def test_gt_matches_pairs_every_gt():
     """gt_matches (the qualitative-analysis hook) maps every GT id; perfect
     detections match each GT to its own dt, junk stays unmatched (0)."""
