@@ -94,6 +94,34 @@ def test_joints_ohkm_mse_loss_golden(ref, seed, topk):
     assert got == pytest.approx(want, rel=1e-5)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_gaussian_smoothing_golden(ref, seed):
+    """utils/gaussian.py vs the reference's depthwise-conv2d module: the
+    reference convolves VALID (its call sites reflect-pad by kernel//2 first,
+    reference loss.py:80 commented form), ours pads reflect internally — so
+    compare ours(x) against ref(F.pad(x, reflect))."""
+    del ref
+    import importlib.util as ilu
+
+    import torch.nn.functional as F
+
+    from buctd_tpu.utils.gaussian import GaussianSmoothing
+
+    spec = ilu.spec_from_file_location(
+        "ref_gaussian", "/root/reference/lib/utils/gaussian.py")
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(400 + seed)
+    x = rng.rand(B, H, W, J).astype(np.float32)
+    ref_sm = mod.GaussianSmoothing(channels=J, kernel_size=11, sigma=6)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = ref_sm(F.pad(xt, (5, 5, 5, 5), mode="reflect")).numpy()
+    got = np.asarray(GaussianSmoothing(channels=J, kernel_size=11, sigma=6)(
+        x)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_joints_expectation_loss_golden(ref, seed):
     import jax.numpy as jnp
