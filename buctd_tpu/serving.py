@@ -80,8 +80,9 @@ class PoseEstimator:
                                                        self.variables)
         self.colors = (np.asarray(colors) if colors is not None
                        else rainbow_colors(self.num_joints))
+        self.refine_iters = max(int(refine_iters), 1)
         self.refine = make_refine_fn(cfg, self.model, self.colors,
-                                     n_iters=max(int(refine_iters), 1))
+                                     n_iters=self.refine_iters)
         self._refine_batch = None   # built lazily (predict_batch)
         # data-parallel serving: with a jax.sharding.Mesh the batched path
         # shards the image rows over the mesh's data axis (params replicated)

@@ -31,7 +31,11 @@ import _init_paths  # noqa: F401
 
 def parse_args():
     p = argparse.ArgumentParser(description="BUCTD batch serving")
-    p.add_argument("--cfg", required=True)
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--exported", default=None,
+                   help="serve from a tools/export.py artifact directory "
+                        "instead of --cfg/--checkpoint (no model code, no "
+                        "re-tracing)")
     p.add_argument("--checkpoint", default=None,
                    help=".pth (converted in-process) or orbax dir")
     p.add_argument("--manifest", required=True,
@@ -58,26 +62,36 @@ def main():
     from buctd_tpu.config import default_config, update_config
     from buctd_tpu.serving import PoseEstimator
 
-    cfg = default_config()
-    update_config(cfg, types.SimpleNamespace(
-        cfg=args.cfg, opts=args.opts, modelDir="", logDir="", dataDir=""))
-
     with open(args.manifest) as f:
         entries = json.load(f)
 
-    precompile = [tuple(int(v) for v in s.split(",")) for s in args.precompile]
-    mesh = None
-    if args.data_parallel:
-        import jax
+    if args.exported:
+        from buctd_tpu.serving_export import ExportedPoseEstimator
+        est = ExportedPoseEstimator(args.exported)
+        print(f"# serving from exported artifact {args.exported} "
+              f"({est.manifest['model_name']}, "
+              f"{len(est.manifest['programs'])} programs)")
+    else:
+        if not args.cfg:
+            raise SystemExit("one of --cfg or --exported is required")
+        cfg = default_config()
+        update_config(cfg, types.SimpleNamespace(
+            cfg=args.cfg, opts=args.opts, modelDir="", logDir="", dataDir=""))
 
-        from buctd_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh()
-        print(f"# data-parallel serving over {mesh.size} devices "
-              f"({jax.devices()[0].platform})")
-    est = PoseEstimator(cfg, checkpoint=args.checkpoint,
-                        refine_iters=args.refine_iters,
-                        max_compiles=args.max_compiles,
-                        precompile=precompile, mesh=mesh)
+        precompile = [tuple(int(v) for v in s.split(","))
+                      for s in args.precompile]
+        mesh = None
+        if args.data_parallel:
+            import jax
+
+            from buctd_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+            print(f"# data-parallel serving over {mesh.size} devices "
+                  f"({jax.devices()[0].platform})")
+        est = PoseEstimator(cfg, checkpoint=args.checkpoint,
+                            refine_iters=args.refine_iters,
+                            max_compiles=args.max_compiles,
+                            precompile=precompile, mesh=mesh)
 
     import cv2
     images, conditions, keep = [], [], []
