@@ -79,13 +79,17 @@ def _plain_dict(variables):
 # -- export ------------------------------------------------------------------
 
 def export_estimator(est: PoseEstimator, shapes, out_dir: str,
-                     platforms=("cpu", "tpu")) -> dict:
+                     platforms=("cpu", "tpu"),
+                     check_platform: bool = True) -> dict:
     """Serialize ``est``'s serving programs for the given bucket ``shapes``.
 
     shapes: iterable of (h, w, p) single-image keys and/or (n, h, w, p)
     batched keys — the same tuples ``PoseEstimator(precompile=...)`` takes.
     Returns the manifest dict.  Shapes are snapped to the bucket tables so the
     artifact's keys match what a live estimator would have compiled.
+
+    Exports are single-device programs (data-parallel serving re-shards at the
+    call site; a ``mesh=`` estimator exports the same per-device program).
     """
     import jax
 
@@ -98,6 +102,16 @@ def export_estimator(est: PoseEstimator, shapes, out_dir: str,
     batched = jax.jit(jax.vmap(
         lambda v, img, conds, wh: est.refine(v, img, conds, img_wh=wh),
         in_axes=(None, 0, 0, 0)))
+
+    # non-canonical platform names (the axon TPU relay registers as 'axon')
+    # can't appear in `platforms`; exporting the tpu lowering with the
+    # platform check disabled lets the artifact run there anyway
+    disabled = ([] if check_platform
+                else [jax.export.DisabledSafetyCheck.platform()])
+
+    def do_export(fn, *specs):
+        return jax.export.export(fn, platforms=list(platforms),
+                                 disabled_checks=disabled)(*specs)
 
     var_specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
@@ -114,16 +128,16 @@ def export_estimator(est: PoseEstimator, shapes, out_dir: str,
             key = (_bucket(h, IMG_BUCKETS), _bucket(w, IMG_BUCKETS),
                    _bucket(p, POSE_BUCKETS))
             hb, wb, pb = key
-            exp = jax.export.export(single, platforms=list(platforms))(
-                var_specs, spec((hb, wb, 3), np.uint8),
+            exp = do_export(
+                single, var_specs, spec((hb, wb, 3), np.uint8),
                 spec((pb, J, 3), np.float32), spec((2,), np.float32))
         else:
             n, h, w, p = key
             key = (n, _bucket(h, IMG_BUCKETS), _bucket(w, IMG_BUCKETS),
                    _bucket(p, POSE_BUCKETS))
             nb, hb, wb, pb = key
-            exp = jax.export.export(batched, platforms=list(platforms))(
-                var_specs, spec((nb, hb, wb, 3), np.uint8),
+            exp = do_export(
+                batched, var_specs, spec((nb, hb, wb, 3), np.uint8),
                 spec((nb, pb, J, 3), np.float32), spec((nb, 2), np.float32))
         name = "prog_" + "x".join(str(v) for v in key) + ".shlo"
         with open(os.path.join(out_dir, name), "wb") as f:
@@ -139,6 +153,7 @@ def export_estimator(est: PoseEstimator, shapes, out_dir: str,
         "num_joints": J,
         "refine_iters": est.refine_iters,
         "platforms": list(platforms),
+        "platform_check": bool(check_platform),
         "programs": keys,
         "jax_version": jax.__version__,
     }
@@ -272,11 +287,18 @@ class ExportedPoseEstimator:
             while pos < len(idxs):
                 chunk = idxs[pos:pos + counts[-1]]
                 pos += len(chunk)
-                nb = next((n for n in counts if n >= len(chunk)), None)
-                if nb is None or len(chunk) == 1:
-                    for q in chunk:
-                        out[q] = self.predict(*pairs[q], vis_thres)
-                    continue
+                nb = next(n for n in counts if n >= len(chunk))
+                if len(chunk) == 1:
+                    im, cs = pairs[chunk[0]]
+                    try:   # a fitting single-image program is cheaper
+                        self._pick(_bucket(im.shape[0], IMG_BUCKETS),
+                                   _bucket(im.shape[1], IMG_BUCKETS),
+                                   _bucket(cs.shape[0], POSE_BUCKETS))
+                    except RuntimeError:
+                        pass   # artifact has only the batched program: pad rows
+                    else:
+                        out[chunk[0]] = self.predict(im, cs, vis_thres)
+                        continue
                 imgs = np.zeros((nb, hb, wb, 3), np.uint8)
                 cnds = np.zeros((nb, pb, self.num_joints, 3), np.float32)
                 whs = np.ones((nb, 2), np.float32)

@@ -89,6 +89,27 @@ def test_export_predict_batch_uses_batched_program(artifact):
         np.testing.assert_allclose(g, w, atol=1e-5)
 
 
+def test_export_batched_only_artifact_serves_single_image(tmp_path):
+    """An artifact holding ONLY a batched program still serves a lone image
+    through predict_batch (pad rows), and predict() raises with guidance."""
+    from buctd_tpu.serving import PoseEstimator
+    from buctd_tpu.serving_export import (ExportedPoseEstimator,
+                                          export_estimator)
+
+    est = PoseEstimator(_cfg(TINY), refine_iters=1)
+    out = str(tmp_path / "batched_only")
+    export_estimator(est, [(2, 256, 256, 4)], out, platforms=("cpu",))
+    loaded = ExportedPoseEstimator(out)
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (150, 160, 3)).astype(np.uint8)
+    conds = rng.uniform(30, 140, (2, 17, 2)).astype(np.float32)
+    with pytest.raises(RuntimeError, match="no exported program"):
+        loaded.predict(img, conds)
+    got = loaded.predict_batch([img], [conds])
+    assert got[0].shape == (2, 17, 3)
+    np.testing.assert_allclose(got[0], est.predict(img, conds), atol=1e-5)
+
+
 def test_export_format_version_guard(artifact, tmp_path):
     from buctd_tpu.serving_export import ExportedPoseEstimator
 

@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--refine-iters", type=int, default=1)
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma list of export lowering platforms")
+    p.add_argument("--no-platform-check", action="store_true",
+                   help="disable the runtime platform safety check (needed to "
+                        "run tpu-lowered artifacts on non-canonical platform "
+                        "names like the axon relay)")
     p.add_argument("--selftest", action="store_true",
                    help="reload the artifact and verify against the live "
                         "estimator on a random input")
@@ -64,7 +68,8 @@ def main():
                         refine_iters=args.refine_iters)
     manifest = export_estimator(
         est, shapes, args.out,
-        platforms=tuple(args.platforms.split(",")))
+        platforms=tuple(args.platforms.split(",")),
+        check_platform=not args.no_platform_check)
     print(f"# exported {len(manifest['programs'])} programs "
           f"({manifest['model_name']}, refine_iters={args.refine_iters}) "
           f"-> {args.out}")
