@@ -63,7 +63,7 @@ def xla_block(x, w1, w2, b1, b2):
     return jax.nn.relu(z + b2 + x)
 
 
-def timed_chain(block_fn, x, params, label):
+def timed_chain(block_fn, x, params):
     """Compile x -> K chained blocks -> scalar; return median ms/block."""
 
     def prog(x):
@@ -106,21 +106,20 @@ def main():
     print(f"# bounds: fill = flops/(197TF*lane_fill); "
           f"hbm = fused-pair in+out @ {SUSTAINED_HBM / 1e9:.0f} GB/s")
     results = {}
-    for rnd in range(1):   # interleave at the case level: warm all, then time
-        for name, h, w, c, fill, x, params in cases:
-            med, lo, hi = timed_chain(xla_block, x, params, name)
-            t_fill, t_hbm = bounds(h, w, c, fill)
-            bound = max(t_fill, t_hbm)
-            results[name] = med
-            print(f"{name} ({h}x{w}xC{c}): XLA {med:7.3f} ms "
-                  f"[{lo:.3f}-{hi:.3f}]  fill-bound {t_fill:6.3f}  "
-                  f"hbm-bound {t_hbm:6.3f}  headroom {med / bound:5.2f}x")
+    for name, h, w, c, fill, x, params in cases:
+        med, lo, hi = timed_chain(xla_block, x, params)
+        t_fill, t_hbm = bounds(h, w, c, fill)
+        bound = max(t_fill, t_hbm)
+        results[name] = med
+        print(f"{name} ({h}x{w}xC{c}): XLA {med:7.3f} ms "
+              f"[{lo:.3f}-{hi:.3f}]  fill-bound {t_fill:6.3f}  "
+              f"hbm-bound {t_hbm:6.3f}  headroom {med / bound:5.2f}x")
 
     if args.pallas:
         from buctd_tpu.ops.pallas_block import fused_basic_block
         for name, h, w, c, fill, x, params in cases:
             try:
-                med, lo, hi = timed_chain(fused_basic_block, x, params, name)
+                med, lo, hi = timed_chain(fused_basic_block, x, params)
             except Exception as e:  # one geometry failing shouldn't kill the run
                 print(f"{name} ({h}x{w}xC{c}): PALLAS failed: "
                       f"{str(e).splitlines()[0][:120]}")
