@@ -208,6 +208,13 @@ class PoseEstimator:
         return [self.predict(img, conds, vis_thres)
                 for img, conds in zip(images, conditions)]
 
+    def export(self, shapes, out_dir: str, **kwargs) -> dict:
+        """Serialize this estimator's serving programs to a StableHLO
+        artifact directory (see serving_export.export_estimator; serve it
+        back with ExportedPoseEstimator or `tools/serve.py --exported`)."""
+        from .serving_export import export_estimator
+        return export_estimator(self, shapes, out_dir, **kwargs)
+
     # -- batched multi-image path ------------------------------------------
     def _canon(self, image, condition_poses):
         image = np.asarray(image)

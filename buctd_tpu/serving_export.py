@@ -22,6 +22,12 @@ Artifact layout (a directory):
 Weights travel as *arguments* (params.npz), not baked-in constants, so the
 artifact stays small-ish, params remain inspectable/swappable, and the same
 program can serve updated weights of identical structure.
+
+Caveat: kernel-engine selection (TPU.ATTENTION_ENGINE / TPU.WARP_ENGINE
+``auto``) happens at TRACE time from the *current* backend, so the traced
+program embeds that choice — export for ``cpu`` from a CPU-backed process
+and for ``tpu`` from a TPU-backed one (a pallas kernel traced under TPU has
+no cpu lowering; export_estimator raises with this guidance).
 """
 
 from __future__ import annotations
@@ -110,8 +116,20 @@ def export_estimator(est: PoseEstimator, shapes, out_dir: str,
                 else [jax.export.DisabledSafetyCheck.platform()])
 
     def do_export(fn, *specs):
-        return jax.export.export(fn, platforms=list(platforms),
-                                 disabled_checks=disabled)(*specs)
+        try:
+            return jax.export.export(fn, platforms=list(platforms),
+                                     disabled_checks=disabled)(*specs)
+        except ValueError as e:
+            if "interpret mode" in str(e) or "pallas" in str(e).lower():
+                raise ValueError(
+                    "export hit a pallas kernel that can't lower for "
+                    f"platforms={list(platforms)}: engine selection "
+                    "(TPU.ATTENTION_ENGINE / TPU.WARP_ENGINE 'auto') is "
+                    "decided at trace time by the CURRENT backend, not the "
+                    "export target — export for 'cpu' from a CPU-backed "
+                    "process (jax.config.update('jax_platforms', 'cpu')) "
+                    "and for 'tpu' from a TPU-backed one") from e
+            raise
 
     var_specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),

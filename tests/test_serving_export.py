@@ -89,6 +89,28 @@ def test_export_predict_batch_uses_batched_program(artifact):
         np.testing.assert_allclose(g, w, atol=1e-5)
 
 
+def test_export_coam_flagship_roundtrip(tmp_path):
+    """The OCHuman flagship (pose_hrnet_coam) exports and round-trips too —
+    via the PoseEstimator.export convenience method, with refine_iters=3
+    (the published OCHuman protocol, reference README.md:104)."""
+    from buctd_tpu.serving import PoseEstimator
+    from buctd_tpu.serving_export import ExportedPoseEstimator
+
+    cfg = _cfg(TINY + ["MODEL.NAME", "pose_hrnet_coam",
+                       "MODEL.ATT_MODULES", "[False, True, False, False]"])
+    est = PoseEstimator(cfg, refine_iters=3)
+    out = str(tmp_path / "coam")
+    manifest = est.export([(256, 256, 4)], out, platforms=("cpu",))
+    assert manifest["model_name"] == "pose_hrnet_coam"
+    assert manifest["refine_iters"] == 3
+    loaded = ExportedPoseEstimator(out)
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 255, (190, 210, 3)).astype(np.uint8)
+    conds = rng.uniform(30, 180, (2, 17, 2)).astype(np.float32)
+    np.testing.assert_allclose(loaded.predict(img, conds),
+                               est.predict(img, conds), atol=1e-5)
+
+
 def test_export_batched_only_artifact_serves_single_image(tmp_path):
     """An artifact holding ONLY a batched program still serves a lone image
     through predict_batch (pad rows), and predict() raises with guidance."""
